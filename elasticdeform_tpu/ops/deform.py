@@ -1,0 +1,238 @@
+"""Deformation orchestration: the fused forward map and its exact adjoint.
+
+This is the TPU-native counterpart of the reference's ``DeformGrid`` C entry
+point (reference deform.c:340-1043) plus the Python-side prefilter
+orchestration (reference deform_grid.py:154-174). Everything here is pure,
+static-shaped, and traceable under ``jit`` / ``vmap`` / ``shard_map``.
+
+Pipeline (forward), matching reference call stack §3.2 of SURVEY.md:
+  1. prefilter the displacement grid at order 3 over its control-point axes
+     (reference deform_grid.py:165-169) — MXU matmuls,
+  2. interpolate it to a dense per-voxel displacement field — MXU matmuls
+     (reference deform.c:639-758),
+  3. per input: optional input prefilter (deform_grid.py:154-164), affine
+     transform of the output coordinates (deform.c:771-777), crop offset +
+     displacement, boundary-mode mapping (deform.c:781), separable
+     (order+1)^naxis gather with spline weights (deform.c:818-901), cval
+     substitution for constant-mode outside voxels (deform.c:902-903), and
+     dtype cast (deform.c:906-924).
+
+The adjoint (reference gradient path, deform.c:926-997 + the transpose
+prefilter deform.c:1049-1168) is derived with ``jax.linear_transpose`` of
+the linear part of the same pipeline, guaranteeing exact consistency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from elasticdeform_tpu.ops import modes as _modes
+from elasticdeform_tpu.ops.displacement import dense_displacement
+from elasticdeform_tpu.ops.prefilter import spline_filter1d, spline_filter1d_transpose
+from elasticdeform_tpu.ops.resample import resample_linear, cast_output
+
+_DISPLACEMENT_ORDER = 3  # reference deform.c:375
+
+
+@dataclasses.dataclass(frozen=True)
+class InputSpec:
+    """Static per-input configuration (hashable for jit caching)."""
+    shape: Tuple[int, ...]        # full (uncropped) input shape
+    dtype: str                    # numpy dtype name of the input
+    axis: Tuple[int, ...]         # deformed axes, sorted
+    order: int                    # 0-5
+    mode: int                     # boundary mode code
+    cval: float
+    out_shape: Tuple[int, ...]    # full output shape
+
+
+@dataclasses.dataclass(frozen=True)
+class DeformSpec:
+    """Static call configuration shared by all inputs."""
+    inputs: Tuple[InputSpec, ...]
+    deform_shape: Tuple[int, ...]   # uncropped extent over deformed axes
+    out_spatial: Tuple[int, ...]    # cropped output extent over deformed axes
+    offsets: Tuple[int, ...]        # crop offsets per deformed axis
+    prefilter: bool
+    compute_dtype: str
+    has_affine: bool
+
+
+def default_compute_dtype(*dtypes) -> str:
+    """float64 when x64 is enabled and any operand is 64-bit, else float32."""
+    if jax.config.jax_enable_x64 and any(
+            np.dtype(d).itemsize >= 8 and np.dtype(d).kind in "fiu"
+            for d in dtypes):
+        return "float64"
+    return "float32"
+
+
+def _prefilter_displacement(displacement, cdt):
+    """Order-3 prefilter over control-point axes (deform_grid.py:165-169)."""
+    disp = jnp.asarray(displacement).astype(cdt)
+    for d in range(1, disp.ndim):
+        disp = spline_filter1d(disp, _DISPLACEMENT_ORDER, d)
+    return disp
+
+
+def _output_coordinates(spec: DeformSpec, displ, affine, cdt):
+    """Sample coordinates per deformed axis: affine(out) + offset + displ.
+
+    Matches reference deform.c:768-781 — the affine acts on the *output*
+    voxel coordinates (without the crop offset); the crop offset and the
+    dense displacement are added afterwards, and the displacement itself was
+    evaluated at the offset output position (handled in dense_displacement).
+    """
+    naxis = len(spec.out_spatial)
+    coords = [jax.lax.broadcasted_iota(cdt, spec.out_spatial, h)
+              for h in range(naxis)]
+    if affine is not None:
+        A = jnp.asarray(affine).astype(cdt)
+        cc = []
+        for h in range(naxis):
+            acc = A[h, naxis]
+            for l in range(naxis):
+                acc = acc + A[h, l] * coords[l]
+            cc.append(acc)
+    else:
+        cc = coords
+    return [cc[h] + spec.offsets[h] + displ[h] for h in range(naxis)]
+
+
+def _split_axes(ispec: InputSpec):
+    """Deformed-axes-first permutation and channel info for one input."""
+    ndim = len(ispec.shape)
+    channels = tuple(d for d in range(ndim) if d not in ispec.axis)
+    perm = tuple(ispec.axis) + channels
+    inv_perm = tuple(np.argsort(perm))
+    chan_shape = tuple(ispec.shape[d] for d in channels)
+    return perm, inv_perm, chan_shape
+
+
+def _to_spatial_channels(x, ispec: InputSpec):
+    """Transpose/reshape input to (*deform_spatial, C)."""
+    perm, _, chan_shape = _split_axes(ispec)
+    spatial = tuple(ispec.shape[d] for d in ispec.axis)
+    xt = jnp.transpose(x, perm)
+    return xt.reshape(*spatial, max(math.prod(chan_shape), 1))
+
+
+def _from_spatial_channels(y, ispec: InputSpec, out_spatial):
+    """Inverse of :func:`_to_spatial_channels` for the output."""
+    perm, inv_perm, chan_shape = _split_axes(ispec)
+    y = y.reshape(*out_spatial, *chan_shape)
+    return jnp.transpose(y, inv_perm)
+
+
+def _prefilter_input(xt, ispec: InputSpec, spec: DeformSpec, cdt,
+                     exact_int: bool):
+    """Per-axis input prefilter (reference deform_grid.py:154-164).
+
+    The reference writes each per-axis filter result into an array of the
+    *input* dtype (``numpy.zeros_like``), so integer inputs are round-cast
+    after every axis; ``exact_int`` replicates that (forward path). The
+    linear/gradient path skips it to stay linear.
+    """
+    naxis = len(ispec.axis)
+    xf = xt.astype(cdt)
+    if spec.prefilter and ispec.order > 1:
+        int_like = np.dtype(ispec.dtype).kind in "bui"
+        for d in range(naxis):
+            xf = spline_filter1d(xf, ispec.order, d)
+            if exact_int and int_like:
+                xf = cast_output(xf, ispec.dtype).astype(cdt)
+    return xf
+
+
+def _map_input_coordinates(cc, ispec: InputSpec, spec: DeformSpec):
+    """Boundary-map coordinates for one input; returns (mapped, inside)."""
+    naxis = len(ispec.axis)
+    mapped = []
+    inside = None
+    for h in range(naxis):
+        m, ins = _modes.map_coordinate(cc[h], spec.deform_shape[h], ispec.mode)
+        mapped.append(m)
+        if ispec.mode == _modes.MODE_CONSTANT:
+            inside = ins if inside is None else (inside & ins)
+    return mapped, inside
+
+
+def _deform_one_linear(xt, cc, ispec: InputSpec, spec: DeformSpec, cdt,
+                       exact_int: bool):
+    """Linear part of the per-input pipeline: prefilter + masked resample.
+
+    Input/output in (*spatial, C) layout; no cval constant, no output cast.
+    """
+    xf = _prefilter_input(xt, ispec, spec, cdt, exact_int)
+    mapped, inside = _map_input_coordinates(cc, ispec, spec)
+    return resample_linear(xf, mapped, inside, ispec.order, spec.out_spatial,
+                           cdt), inside
+
+
+def deform_apply(xs, displacement, affine, spec: DeformSpec):
+    """Forward deformation for all inputs. Returns a list of outputs."""
+    cdt = spec.compute_dtype
+    disp_f = _prefilter_displacement(displacement, cdt)
+    displ = dense_displacement(disp_f, spec.out_spatial, spec.deform_shape,
+                               spec.offsets, cdt)
+    cc = _output_coordinates(spec, displ, affine, cdt)
+
+    ys = []
+    for x, ispec in zip(xs, spec.inputs):
+        xt = _to_spatial_channels(jnp.asarray(x), ispec)
+        y, inside = _deform_one_linear(xt, cc, ispec, spec, cdt,
+                                       exact_int=True)
+        if inside is not None:
+            # constant-mode outside voxels take cval (deform.c:902-903)
+            mask = inside[..., None]
+            y = y + jnp.where(mask, jnp.zeros((), cdt),
+                              jnp.asarray(ispec.cval, dtype=cdt))
+        y = cast_output(y, ispec.dtype)
+        ys.append(_from_spatial_channels(y, ispec, spec.out_spatial))
+    return ys
+
+
+def deform_gradient_apply(dys, displacement, affine, spec: DeformSpec):
+    """Exact adjoint: gradients w.r.t. the (uncropped) inputs.
+
+    Equivalent to the reference's ``deform_grid_grad`` + transpose prefilter
+    pipeline (reference deform_grid.py:274-286): for each input the linear
+    forward map (prefilter ∘ resample, without cval constant) is transposed
+    with ``jax.linear_transpose`` — XLA turns the gathers into scatter-adds
+    (deform.c:953-995) and the prefilter matmuls into their transposes
+    (deform.c:1049-1168).
+    """
+    cdt = spec.compute_dtype
+    disp_f = _prefilter_displacement(displacement, cdt)
+    displ = dense_displacement(disp_f, spec.out_spatial, spec.deform_shape,
+                               spec.offsets, cdt)
+    cc = _output_coordinates(spec, displ, affine, cdt)
+
+    dxs = []
+    for dy, ispec in zip(dys, spec.inputs):
+        spatial = tuple(ispec.shape[d] for d in ispec.axis)
+        _, _, chan_shape = _split_axes(ispec)
+        nchan = max(math.prod(chan_shape), 1)
+        xt_struct = jax.ShapeDtypeStruct((*spatial, nchan), jnp.dtype(cdt))
+
+        def linear_fn(xt, _cc=cc, _ispec=ispec):
+            y, _ = _deform_one_linear(xt, _cc, _ispec, spec, cdt,
+                                      exact_int=False)
+            return y
+
+        transpose = jax.linear_transpose(linear_fn, xt_struct)
+        # bring the incoming gradient into (*out_spatial, C) layout
+        out_ispec = dataclasses.replace(ispec, shape=ispec.out_shape)
+        dyt = _to_spatial_channels(jnp.asarray(dy), out_ispec).astype(cdt)
+        (dxt,) = transpose(dyt)
+        dx = cast_output(dxt, ispec.dtype)
+        # back to the input's original axis order, at the uncropped shape
+        in_ispec = dataclasses.replace(ispec, out_shape=ispec.shape)
+        dxs.append(_from_spatial_channels(dx, in_ispec, spatial))
+    return dxs

@@ -1,0 +1,17 @@
+"""Batching and multi-chip scale-out for augmentation pipelines."""
+
+from elasticdeform_tpu.parallel.sharding import (
+    batched_deform,
+    batched_random_deform,
+    sharded_deform,
+    make_augmentation_mesh,
+)
+from elasticdeform_tpu.parallel.pipeline import AugmentationPipeline
+
+__all__ = [
+    "batched_deform",
+    "batched_random_deform",
+    "sharded_deform",
+    "make_augmentation_mesh",
+    "AugmentationPipeline",
+]

@@ -1,0 +1,56 @@
+"""TensorFlow shim: deformation with a custom gradient.
+
+Mirrors the reference ``elasticdeform.tf`` (reference tf.py:5-72) for TF2:
+``tf.custom_gradient`` around ``tf.py_function``, re-entering the analytic
+gradient on the backward pass. As in the reference, the gradient w.r.t. the
+displacement is deliberately poisoned with NaNs (reference tf.py:47).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import tensorflow as _tf
+
+from elasticdeform_tpu import api as _api
+
+
+def deform_grid(X, displacement, *args, **kwargs):
+    """Elastic deformation as a TensorFlow op with a custom gradient.
+
+    See :func:`elasticdeform_tpu.deform_grid` for parameters
+    (reference tf.py:5-27 for the wrapper semantics).
+    """
+    is_list = isinstance(X, (list, tuple))
+    Xs = list(X) if is_list else [X]
+
+    @_tf.custom_gradient
+    def _deform(displacement, *xs):
+        x_shapes = [tuple(int(s) for s in x.shape) for x in xs]
+
+        def _forward(displacement, *xs):
+            xs_numpy = [np.asarray(x) for x in xs]
+            return _api.deform_grid(xs_numpy, np.asarray(displacement),
+                                    *args, **kwargs)
+
+        ys = _tf.py_function(_forward, [displacement] + list(xs),
+                             [x.dtype for x in xs])
+
+        def _grad(*dys):
+            def _backward(displacement, *dys):
+                dys_numpy = [np.asarray(dy) for dy in dys]
+                return _api.deform_grid_gradient(
+                    dys_numpy, np.asarray(displacement), *args,
+                    X_shape=x_shapes, **kwargs)
+
+            dxs = _tf.py_function(_backward, [displacement] + list(dys),
+                                  [dy.dtype for dy in dys])
+            for dx, shape in zip(dxs, x_shapes):
+                dx.set_shape(shape)
+            # displacement gradient is intentionally undefined
+            # (reference tf.py:47)
+            return [np.nan * _tf.cast(displacement, _tf.float64)] + list(dxs)
+
+        return ys, _grad
+
+    ys = _deform(displacement, *Xs)
+    return list(ys) if is_list else ys[0]

@@ -1,0 +1,96 @@
+"""Batching and multi-device sharding tests (8 virtual CPU devices)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import elasticdeform_tpu as ed
+from elasticdeform_tpu.parallel import (
+    batched_deform, batched_random_deform, sharded_deform,
+    make_augmentation_mesh, AugmentationPipeline,
+)
+
+RNG = np.random.default_rng(77)
+
+
+def test_vmap_matches_loop():
+    batch = 3
+    X = jnp.asarray(RNG.random((batch, 20, 18)))
+    D = jnp.asarray(RNG.standard_normal((batch, 2, 3, 3)) * 5)
+    out = batched_deform(X, D, order=3, mode='mirror')
+    for b in range(batch):
+        ref = ed.deform(X[b], D[b], order=3, mode='mirror')
+        np.testing.assert_allclose(np.asarray(out[b]), np.asarray(ref),
+                                   rtol=1e-10, atol=1e-10)
+
+
+def test_vmap_with_crop_and_channels():
+    batch = 2
+    X = jnp.asarray(RNG.random((batch, 3, 20, 18)))
+    D = jnp.asarray(RNG.standard_normal((batch, 2, 3, 3)) * 5)
+    out = batched_deform(X, D, order=1, axis=(1, 2),
+                         crop=(slice(5, 15), slice(2, 12)))
+    assert out.shape == (batch, 3, 10, 10)
+
+
+def test_batched_random_deform():
+    key = jax.random.PRNGKey(0)
+    X = jnp.asarray(RNG.random((4, 16, 16)))
+    out = batched_random_deform(key, X, sigma=3.0, points=3, order=1)
+    assert out.shape == X.shape
+    # different samples get different grids
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
+
+
+def test_sharded_matches_vmap():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_augmentation_mesh(jax.devices()[:8])
+    batch = 16
+    X = jnp.asarray(RNG.random((batch, 12, 12, 12), dtype=np.float64))
+    D = jnp.asarray(RNG.standard_normal((batch, 3, 3, 3, 3)) * 3)
+    ref = batched_deform(X, D, order=3, mode='mirror')
+    out = sharded_deform(mesh, X, D, order=3, mode='mirror')
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_sharded_gradient():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_augmentation_mesh(jax.devices()[:8])
+    batch = 8
+    X = jnp.asarray(RNG.random((batch, 10, 10)))
+    D = jnp.asarray(RNG.standard_normal((batch, 2, 3, 3)) * 2)
+
+    def loss(x):
+        y = sharded_deform(mesh, x, D, order=3, mode='mirror')
+        return jnp.sum(y ** 2)
+
+    g = jax.grad(loss)(X)
+    ref = jax.grad(lambda x: jnp.sum(
+        batched_deform(x, D, order=3, mode='mirror') ** 2))(X)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_pipeline_streams():
+    key = jax.random.PRNGKey(3)
+    batches = [RNG.random((2, 12, 12)).astype(np.float32) for _ in range(3)]
+    pipe = AugmentationPipeline(batches, key, sigma=3.0, points=3, order=1)
+    outs = list(pipe)
+    assert len(outs) == 3
+    assert all(o.shape == (2, 12, 12) for o in outs)
+
+
+def test_entry_points():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == args[0].shape
+    mod.dryrun_multichip(8)

@@ -1,0 +1,105 @@
+"""Unit tests for the spline-math building blocks."""
+
+import numpy as np
+import scipy.ndimage
+import pytest
+
+from elasticdeform_tpu.ops.prefilter import (
+    filter_matrix, spline_filter1d, spline_filter1d_transpose,
+    spline_filter1d_np, spline_poles,
+)
+from elasticdeform_tpu.ops.bspline import spline_weights_np
+from elasticdeform_tpu.ops.modes import (
+    map_coordinate_np, mirror_index_np, mode_to_code,
+)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 5, 17, 100])
+@pytest.mark.parametrize("order", [2, 3, 4, 5])
+def test_filter_matrix_matches_scipy(n, order):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((n, 5))
+    ref = scipy.ndimage.spline_filter1d(x, order=order, axis=0)
+    np.testing.assert_allclose(filter_matrix(n, order) @ x, ref,
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(spline_filter1d_np(x, order, 0), ref,
+                               rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("order", [2, 3, 4, 5])
+def test_filter_device_and_transpose(order):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((13, 7))
+    y = rng.standard_normal((13, 7))
+    fx = np.asarray(spline_filter1d(x, order, 0))
+    ref = scipy.ndimage.spline_filter1d(x, order=order, axis=0)
+    np.testing.assert_allclose(fx, ref, rtol=1e-10, atol=1e-10)
+    # adjoint identity <F x, y> == <x, F^T y>
+    fty = np.asarray(spline_filter1d_transpose(y, order, 0))
+    np.testing.assert_allclose(np.vdot(fx, y), np.vdot(x, fty), rtol=1e-12)
+
+
+@pytest.mark.parametrize("order", [1, 2, 3, 4, 5])
+def test_weights_partition_of_unity(order):
+    cc = np.linspace(-3.3, 12.7, 201)
+    w = spline_weights_np(cc, order)
+    np.testing.assert_allclose(w.sum(axis=0), 1.0, atol=1e-12)
+    assert w.shape[0] == order + 1
+
+
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_weights_match_scipy_interpolation(order):
+    # interpolating with our weights at integer-offset taps must reproduce
+    # scipy.ndimage.map_coordinates on interior coordinates
+    rng = np.random.default_rng(2)
+    n = 30
+    x = rng.standard_normal(n)
+    cc = np.linspace(5.0, n - 6.0, 40)
+    from elasticdeform_tpu.ops.bspline import filter_start
+    start = filter_start(cc, order, xp=np).astype(int)
+    w = spline_weights_np(cc, order)
+    coeffs = scipy.ndimage.spline_filter1d(x, order=order) if order > 1 else x
+    mine = sum(w[l] * coeffs[start + l] for l in range(order + 1))
+    ref = scipy.ndimage.map_coordinates(x, [cc], order=order)
+    np.testing.assert_allclose(mine, ref, rtol=1e-10, atol=1e-12)
+
+
+def test_mirror_index_fold():
+    n = 5
+    idx = np.arange(-13, 13)
+    folded = mirror_index_np(idx, n)
+    assert folded.min() >= 0 and folded.max() <= n - 1
+    # mirror period 2n-2: explicit small cases
+    np.testing.assert_array_equal(mirror_index_np(np.array([-2, -1, 0, 4, 5, 6]), 5),
+                                  np.array([2, 1, 0, 4, 3, 2]))
+    np.testing.assert_array_equal(mirror_index_np(np.array([-3, 7]), 1),
+                                  np.array([0, 0]))
+
+
+@pytest.mark.parametrize("mode", ["nearest", "wrap", "reflect", "mirror"])
+def test_map_coordinate_in_range(mode):
+    code = mode_to_code(mode)
+    cc = np.linspace(-17.3, 25.9, 500)
+    for n in (2, 3, 8):
+        mapped, inside = map_coordinate_np(cc, n, code)
+        assert inside.all()
+        # pre-1.6 semantics leave at most a 1-wide fringe
+        assert mapped.min() > -1.0 - 1e-9
+        assert mapped.max() < n + 1e-9
+        # in-range coordinates pass through untouched
+        mid = (cc >= 0) & (cc <= n - 1)
+        np.testing.assert_array_equal(mapped[mid], cc[mid])
+
+
+def test_map_coordinate_wrap_period():
+    # pre-SciPy-1.6 wrap uses period len-1 (reference deform.c:75-79)
+    n = 6
+    cc = np.array([-0.5, -5.5, 5.5, 10.5])
+    mapped, _ = map_coordinate_np(cc, n, mode_to_code("wrap"))
+    np.testing.assert_allclose(mapped, [4.5, 4.5, 0.5, 0.5])
+
+
+def test_poles_match_reference_values():
+    np.testing.assert_allclose(spline_poles(3)[0], np.sqrt(3) - 2)
+    np.testing.assert_allclose(spline_poles(2)[0], np.sqrt(8) - 3)
+    assert len(spline_poles(4)) == 2 and len(spline_poles(5)) == 2
