@@ -143,8 +143,10 @@ def resolve_affine(affine, rotate, zoom, axis, output_shapes):
 
 def build_spec(Xs, axis, deform_shape, output_shapes, output_offset,
                orders, modes, cvals, prefilter, displacement_dtype,
-               has_affine, compute_dtype=None):
+               has_affine, compute_dtype=None, strategy="auto"):
     """Assemble the static :class:`DeformSpec` for a call."""
+    assert strategy in ("auto", "windows", "gather"), \
+        "strategy must be 'auto', 'windows' or 'gather'"
     if compute_dtype is None:
         compute_dtype = default_compute_dtype(
             displacement_dtype, *[x.dtype for x in Xs])
@@ -169,4 +171,5 @@ def build_spec(Xs, axis, deform_shape, output_shapes, output_offset,
         prefilter=bool(prefilter),
         compute_dtype=str(compute_dtype),
         has_affine=bool(has_affine),
+        strategy=str(strategy),
     )

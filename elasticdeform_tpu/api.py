@@ -66,7 +66,7 @@ def deform_random_grid(X, sigma=25, points=3, order=3, mode='constant',
 
 def deform_grid(X, displacement, order=3, mode='constant', cval=0.0,
                 crop=None, prefilter=True, axis=None, affine=None,
-                rotate=None, zoom=None):
+                rotate=None, zoom=None, *, strategy="auto"):
     """Elastic deformation with a deformation grid.
 
     Numpy-compatible twin of the reference ``deform_grid``
@@ -86,7 +86,8 @@ def deform_grid(X, displacement, order=3, mode='constant', cval=0.0,
                                    output_shapes)
     spec = _n.build_spec(Xs, axis_n, deform_shape, output_shapes,
                          output_offset, orders, modes, cvals, prefilter,
-                         displacement.dtype, inv_affine is not None)
+                         displacement.dtype, inv_affine is not None,
+                         strategy=strategy)
     fn = _jitted_forward(spec)
     ys = fn(_to_device(Xs), jnp.asarray(displacement),
             None if inv_affine is None else jnp.asarray(inv_affine))
@@ -96,7 +97,8 @@ def deform_grid(X, displacement, order=3, mode='constant', cval=0.0,
 
 def deform_grid_gradient(dY, displacement, order=3, mode='constant', cval=0.0,
                          crop=None, prefilter=True, axis=None, X_shape=None,
-                         affine=None, rotate=None, zoom=None):
+                         affine=None, rotate=None, zoom=None, *,
+                         strategy="auto"):
     """Gradient of :func:`deform_grid` w.r.t. the input.
 
     Numpy-compatible twin of the reference ``deform_grid_gradient``
@@ -136,7 +138,8 @@ def deform_grid_gradient(dY, displacement, order=3, mode='constant', cval=0.0,
                                    output_shapes)
     spec = _n.build_spec(dXs, axis_n, deform_shape, output_shapes,
                          output_offset, orders, modes, cvals, prefilter,
-                         displacement.dtype, inv_affine is not None)
+                         displacement.dtype, inv_affine is not None,
+                         strategy=strategy)
     fn = _jitted_gradient(spec)
     dxs = fn(_to_device(dYs), jnp.asarray(displacement),
              None if inv_affine is None else jnp.asarray(inv_affine))

@@ -27,7 +27,7 @@ from elasticdeform_tpu.ops.deform import deform_apply, deform_gradient_apply
 
 
 def _prepare(X, displacement, order, mode, cval, crop, prefilter, axis,
-             affine, rotate, zoom):
+             affine, rotate, zoom, strategy="auto"):
     Xs = _n.normalize_inputs(X)
     axis, deform_shape = _n.normalize_axis_list(axis, Xs)
     output_shapes, output_offset = _n.compute_output_shapes(
@@ -39,12 +39,14 @@ def _prepare(X, displacement, order, mode, cval, crop, prefilter, axis,
     inv_affine = _n.resolve_affine(affine, rotate, zoom, axis, output_shapes)
     spec = _n.build_spec(Xs, axis, deform_shape, output_shapes, output_offset,
                          orders, modes, cvals, prefilter,
-                         displacement.dtype, inv_affine is not None)
+                         displacement.dtype, inv_affine is not None,
+                         strategy=strategy)
     return Xs, displacement, inv_affine, spec
 
 
 def deform(X, displacement, *, order=3, mode='constant', cval=0.0, crop=None,
-           prefilter=True, axis=None, affine=None, rotate=None, zoom=None):
+           prefilter=True, axis=None, affine=None, rotate=None, zoom=None,
+           strategy="auto"):
     """Elastic deformation with a control-point displacement grid.
 
     JAX-native twin of the reference ``deform_grid``
@@ -59,7 +61,7 @@ def deform(X, displacement, *, order=3, mode='constant', cval=0.0, crop=None,
     """
     Xs, displacement, inv_affine, spec = _prepare(
         X, displacement, order, mode, cval, crop, prefilter, axis, affine,
-        rotate, zoom)
+        rotate, zoom, strategy)
     ys = deform_apply([jnp.asarray(x) for x in Xs], displacement, inv_affine,
                       spec)
     return ys if isinstance(X, list) else ys[0]
@@ -67,7 +69,7 @@ def deform(X, displacement, *, order=3, mode='constant', cval=0.0, crop=None,
 
 def deform_gradient(dY, displacement, *, order=3, mode='constant', cval=0.0,
                     crop=None, prefilter=True, axis=None, X_shape=None,
-                    affine=None, rotate=None, zoom=None):
+                    affine=None, rotate=None, zoom=None, strategy="auto"):
     """Exact adjoint of :func:`deform` w.r.t. the inputs.
 
     JAX-native twin of the reference ``deform_grid_gradient``
@@ -107,7 +109,8 @@ def deform_gradient(dY, displacement, *, order=3, mode='constant', cval=0.0,
     inv_affine = _n.resolve_affine(affine, rotate, zoom, axis, output_shapes)
     spec = _n.build_spec(dXs_shapes, axis, deform_shape, output_shapes,
                          output_offset, orders, modes, cvals, prefilter,
-                         displacement.dtype, inv_affine is not None)
+                         displacement.dtype, inv_affine is not None,
+                         strategy=strategy)
     dxs = deform_gradient_apply([jnp.asarray(dy) for dy in dYs], displacement,
                                 inv_affine, spec)
     return dxs if isinstance(dY, list) else dxs[0]

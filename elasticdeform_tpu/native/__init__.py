@@ -1,0 +1,295 @@
+"""Native (C++) host tier: ctypes bindings + reference-compatible wrappers.
+
+The reference's native tier is a CPython extension (reference
+_deform_grid.c / deform.c); ours is split in two:
+
+* the TPU compute path lives in XLA (ops/), where the hardware wants it,
+* this module provides the *host* native kernel — a self-contained C++
+  implementation (ed_host.cpp) bound via ctypes, serving as
+
+  1. a JAX-free CPU fast path (``elasticdeform_tpu.native.deform_grid``),
+     useful for one-off host-side augmentation without compile overhead,
+  2. an independent differential-testing oracle for the JAX tier
+     (tests/test_native.py) — three-way agreement: scipy oracle, C++ host
+     kernel, XLA kernels.
+
+The shared library is compiled on demand with the system C++ compiler and
+cached next to the package (or in a temp dir if the package is read-only).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sysconfig
+import tempfile
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from elasticdeform_tpu import _normalize as _n
+from elasticdeform_tpu.ops.prefilter import filter_matrix
+
+_SRC = Path(__file__).with_name("ed_host.cpp")
+_LOCK = threading.Lock()
+_LIB = None
+_LIB_ERR = None
+
+
+def _build_library() -> Path:
+    """Compile ed_host.cpp to a shared library (cached)."""
+    cache_dir = Path(os.environ.get(
+        "ELASTICDEFORM_TPU_NATIVE_CACHE",
+        str(_SRC.parent)))
+    out = cache_dir / "_ed_host.so"
+    if out.exists() and out.stat().st_mtime >= _SRC.stat().st_mtime:
+        return out
+    if not os.access(cache_dir, os.W_OK):
+        cache_dir = Path(tempfile.gettempdir()) / "elasticdeform_tpu_native"
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        out = cache_dir / "_ed_host.so"
+        if out.exists() and out.stat().st_mtime >= _SRC.stat().st_mtime:
+            return out
+    cxx = os.environ.get("CXX", "g++")
+    cmd = [cxx, "-O3", "-std=c++17", "-shared", "-fPIC",
+           "-o", str(out), str(_SRC)]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return out
+
+
+def _lib():
+    global _LIB, _LIB_ERR
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        if _LIB_ERR is not None:
+            raise _LIB_ERR
+        try:
+            path = _build_library()
+            lib = ctypes.CDLL(str(path))
+        except Exception as e:  # compiler missing etc.
+            _LIB_ERR = RuntimeError(
+                f"native host kernel unavailable: {e}")
+            raise _LIB_ERR from e
+        lib.ed_deform_grid.restype = ctypes.c_int
+        lib.ed_deform_grid.argtypes = [
+            ctypes.c_int,                      # gradient
+            ctypes.POINTER(ctypes.c_double),   # x
+            ctypes.POINTER(ctypes.c_int64),    # S
+            ctypes.c_int,                      # nd
+            ctypes.c_int64,                    # C
+            ctypes.POINTER(ctypes.c_double),   # disp
+            ctypes.POINTER(ctypes.c_int64),    # ncp
+            ctypes.POINTER(ctypes.c_double),   # y
+            ctypes.POINTER(ctypes.c_int64),    # O
+            ctypes.POINTER(ctypes.c_int64),    # offsets
+            ctypes.c_int,                      # order
+            ctypes.c_int,                      # mode
+            ctypes.c_double,                   # cval
+            ctypes.POINTER(ctypes.c_double),   # affine (nullable)
+        ]
+        lib.ed_spline_filter1d.restype = None
+        lib.ed_spline_filter1d.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int]
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    try:
+        _lib()
+        return True
+    except RuntimeError:
+        return False
+
+
+def _dptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def _iptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def spline_filter1d(x: np.ndarray, order: int, axis: int) -> np.ndarray:
+    """Host prefilter along ``axis`` via the C++ kernel (float64)."""
+    lib = _lib()
+    moved = np.moveaxis(np.asarray(x, dtype=np.float64), axis, 0)
+    # the C++ filter runs in place — always copy so the caller's array
+    # survives (ascontiguousarray would alias an already-contiguous input)
+    buf = np.array(moved, dtype=np.float64, order="C", copy=True)
+    n = buf.shape[0]
+    m = int(buf.size // max(n, 1))
+    lib.ed_spline_filter1d(_dptr(buf), n, m, int(order))
+    return np.moveaxis(buf.reshape(moved.shape), 0, axis)
+
+
+def _cast_output_np(t: np.ndarray, dtype) -> np.ndarray:
+    """Numpy twin of ops.resample.cast_output (reference deform.c:287-306)."""
+    dtype = np.dtype(dtype)
+    if dtype.kind in "fc":
+        return t.astype(dtype)
+    if dtype.kind == "b":
+        return np.trunc(t) != 0
+    info = np.iinfo(dtype)
+    if dtype.kind == "u":
+        r = np.where(t > 0, t + 0.5, 0.0)
+    else:
+        r = np.where(t > 0, t + 0.5, t - 0.5)
+    return np.trunc(np.clip(r, info.min, info.max)).astype(dtype)
+
+
+def _prep_spatial(x: np.ndarray, axis):
+    """Transpose to (deformed..., channels...) and flatten channels."""
+    ndim = x.ndim
+    channels = tuple(d for d in range(ndim) if d not in axis)
+    perm = tuple(axis) + channels
+    xt = np.ascontiguousarray(np.transpose(x, perm), dtype=np.float64)
+    spatial = xt.shape[:len(axis)]
+    chan_shape = xt.shape[len(axis):]
+    C = int(np.prod(chan_shape)) if chan_shape else 1
+    return xt.reshape(*spatial, C), perm, chan_shape
+
+
+def _unprep(y: np.ndarray, perm, chan_shape, out_spatial):
+    y = y.reshape(*out_spatial, *chan_shape)
+    inv = np.argsort(perm)
+    return np.transpose(y, inv)
+
+
+def _prefilter_displacement_np(displacement):
+    disp = np.asarray(displacement, dtype=np.float64).copy()
+    for d in range(1, disp.ndim):
+        disp = spline_filter1d(disp, 3, d)
+    return np.ascontiguousarray(disp)
+
+
+def deform_grid(X, displacement, order=3, mode='constant', cval=0.0,
+                crop=None, prefilter=True, axis=None, affine=None,
+                rotate=None, zoom=None):
+    """Reference-compatible ``deform_grid`` on the native host kernel.
+
+    Same semantics as :func:`elasticdeform_tpu.deform_grid` but computed on
+    the CPU in float64 with zero JAX involvement.
+    """
+    lib = _lib()
+    Xs = _n.normalize_inputs(X)
+    axis_n, deform_shape = _n.normalize_axis_list(axis, Xs)
+    output_shapes, output_offset = _n.compute_output_shapes(
+        Xs, axis_n, deform_shape, crop)
+    displacement = _n.normalize_displacement(displacement, Xs, axis_n)
+    orders = _n.normalize_order(order, Xs)
+    modes = _n.normalize_mode(mode, Xs)
+    cvals = _n.normalize_cval(cval, Xs)
+    inv_affine = _n.resolve_affine(affine, rotate, zoom, axis_n,
+                                   output_shapes)
+    disp_f = _prefilter_displacement_np(displacement)
+    ncp = np.asarray(disp_f.shape[1:], dtype=np.int64)
+
+    outputs = []
+    for x, ax, o, m, cv, oshape in zip(Xs, axis_n, orders, modes, cvals,
+                                       output_shapes):
+        xt, perm, chan_shape = _prep_spatial(np.asarray(x), ax)
+        int_like = np.dtype(x.dtype).kind in "bui"
+        if prefilter and o > 1:
+            for d in range(len(ax)):
+                xt = spline_filter1d(xt, o, d)
+                if int_like:
+                    xt = _cast_output_np(xt, x.dtype).astype(np.float64)
+        xt = np.ascontiguousarray(xt)
+        naxis = len(ax)
+        S = np.asarray(xt.shape[:naxis], dtype=np.int64)
+        out_spatial = tuple(oshape[d] for d in ax)
+        O = np.asarray(out_spatial, dtype=np.int64)
+        offs = np.asarray(output_offset, dtype=np.int64)
+        y = np.zeros((*out_spatial, xt.shape[-1]), dtype=np.float64)
+        aff = None
+        if inv_affine is not None:
+            aff = np.ascontiguousarray(inv_affine, dtype=np.float64)
+        rc = lib.ed_deform_grid(
+            0, _dptr(xt), _iptr(S), naxis, xt.shape[-1],
+            _dptr(disp_f), _iptr(ncp), _dptr(y), _iptr(O), _iptr(offs),
+            int(o), int(m), float(cv),
+            _dptr(aff) if aff is not None else None)
+        if rc != 0:
+            raise RuntimeError("native deform kernel failed")
+        out = _unprep(y, perm, chan_shape, out_spatial)
+        outputs.append(_cast_output_np(out, x.dtype))
+    return outputs if isinstance(X, list) else outputs[0]
+
+
+def deform_grid_gradient(dY, displacement, order=3, mode='constant',
+                         cval=0.0, crop=None, prefilter=True, axis=None,
+                         X_shape=None, affine=None, rotate=None, zoom=None):
+    """Reference-compatible exact adjoint on the native host kernel."""
+    lib = _lib()
+    dYs = _n.normalize_inputs(dY)
+    if isinstance(X_shape, tuple):
+        X_shape = [X_shape]
+    elif X_shape is None:
+        if crop is not None:
+            raise ValueError(
+                "X_shape is required if the crop parameter is given.")
+        X_shape = [dy.shape for dy in dYs]
+
+    class _Shaped:
+        def __init__(self, shape, dtype):
+            self.shape = tuple(int(s) for s in shape)
+            self.ndim = len(shape)
+            self.dtype = dtype
+    dXs_s = [_Shaped(s, dy.dtype) for s, dy in zip(X_shape, dYs)]
+
+    axis_n, deform_shape = _n.normalize_axis_list(axis, dXs_s)
+    output_shapes, output_offset = _n.compute_output_shapes(
+        dXs_s, axis_n, deform_shape, crop)
+    if [tuple(s) for s in output_shapes] != [tuple(dy.shape) for dy in dYs]:
+        raise ValueError("X_shape does not match output shape and cropping. "
+                         "Expected output shape is %s, but %s given."
+                         % (str(output_shapes),
+                            str([tuple(dy.shape) for dy in dYs])))
+    displacement = _n.normalize_displacement(displacement, dYs, axis_n)
+    orders = _n.normalize_order(order, dYs)
+    modes = _n.normalize_mode(mode, dYs)
+    cvals = _n.normalize_cval(cval, dYs)
+    inv_affine = _n.resolve_affine(affine, rotate, zoom, axis_n,
+                                   output_shapes)
+    disp_f = _prefilter_displacement_np(displacement)
+    ncp = np.asarray(disp_f.shape[1:], dtype=np.int64)
+
+    outputs = []
+    for dy, xs_shape, ax, o, m, cv in zip(dYs, X_shape, axis_n, orders,
+                                          modes, cvals):
+        dyt, perm, chan_shape = _prep_spatial(np.asarray(dy), ax)
+        naxis = len(ax)
+        out_spatial = dyt.shape[:naxis]
+        spatial = tuple(int(xs_shape[d]) for d in ax)
+        S = np.asarray(spatial, dtype=np.int64)
+        O = np.asarray(out_spatial, dtype=np.int64)
+        offs = np.asarray(output_offset, dtype=np.int64)
+        dx = np.zeros((*spatial, dyt.shape[-1]), dtype=np.float64)
+        aff = None
+        if inv_affine is not None:
+            aff = np.ascontiguousarray(inv_affine, dtype=np.float64)
+        dyt = np.ascontiguousarray(dyt)
+        rc = lib.ed_deform_grid(
+            1, _dptr(dx), _iptr(S), naxis, dx.shape[-1],
+            _dptr(disp_f), _iptr(ncp), _dptr(dyt), _iptr(O), _iptr(offs),
+            int(o), int(m), float(cv),
+            _dptr(aff) if aff is not None else None)
+        if rc != 0:
+            raise RuntimeError("native deform kernel failed")
+        # transpose prefilter (adjoint of the forward per-axis filters):
+        # multiplication by the transposed filter matrices
+        if prefilter and o > 1:
+            for d in range(naxis):
+                F = filter_matrix(dx.shape[d], o).T
+                dx = np.moveaxis(
+                    np.tensordot(F, dx, axes=[[1], [d]]), 0, d)
+        # reshape channels back and restore the original axis order, with
+        # the full (uncropped) spatial shape
+        dx_full = _unprep(dx, perm, chan_shape, spatial)
+        outputs.append(_cast_output_np(dx_full, dy.dtype))
+    return outputs if isinstance(dY, list) else outputs[0]

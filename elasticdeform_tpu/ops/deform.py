@@ -35,7 +35,12 @@ import jax.numpy as jnp
 from elasticdeform_tpu.ops import modes as _modes
 from elasticdeform_tpu.ops.displacement import dense_displacement
 from elasticdeform_tpu.ops.prefilter import spline_filter1d, spline_filter1d_transpose
-from elasticdeform_tpu.ops.resample import resample_linear, cast_output
+from elasticdeform_tpu.ops.resample import (
+    resample_linear, cast_output, mirror_pad, pad_amount,
+)
+from elasticdeform_tpu.ops.windows import (
+    window_plan, window_pad_indices, resample_windows,
+)
 
 _DISPLACEMENT_ORDER = 3  # reference deform.c:375
 
@@ -62,6 +67,10 @@ class DeformSpec:
     prefilter: bool
     compute_dtype: str
     has_affine: bool
+    # resampling strategy: 'auto' (windows where supported), 'windows'
+    # (overlapping-row gather fast path, ops/windows.py), or 'gather'
+    # (per-tap element gathers, ops/resample.py)
+    strategy: str = "auto"
 
 
 def default_compute_dtype(*dtypes) -> str:
@@ -168,11 +177,29 @@ def _deform_one_linear(xt, cc, ispec: InputSpec, spec: DeformSpec, cdt,
     """Linear part of the per-input pipeline: prefilter + masked resample.
 
     Input/output in (*spatial, C) layout; no cval constant, no output cast.
+    Dispatches between the window-gather fast path (ops/windows.py) and the
+    per-tap gather path (ops/resample.py) — numerically identical taps and
+    weights, different memory layout.
     """
     xf = _prefilter_input(xt, ispec, spec, cdt, exact_int)
     mapped, inside = _map_input_coordinates(cc, ispec, spec)
-    return resample_linear(xf, mapped, inside, ispec.order, spec.out_spatial,
-                           cdt), inside
+    naxis = len(mapped)
+    plan = window_plan(naxis, ispec.order) \
+        if spec.strategy in ("auto", "windows") else None
+    if plan is None:
+        y = resample_linear(xf, mapped, inside, ispec.order,
+                            spec.out_spatial, cdt)
+    else:
+        n_lead, widths, strides = plan
+        pad = pad_amount(ispec.order)
+        xp = xf
+        for h in range(naxis):
+            extra = widths[h - n_lead] if h >= n_lead else 0
+            idx = window_pad_indices(xf.shape[h], pad, extra)
+            xp = jnp.take(xp, jnp.asarray(idx), axis=h)
+        y = resample_windows(xp, mapped, inside, ispec.order,
+                             spec.out_spatial, cdt, pad)
+    return y, inside
 
 
 def deform_apply(xs, displacement, affine, spec: DeformSpec):
@@ -226,11 +253,15 @@ def deform_gradient_apply(dys, displacement, affine, spec: DeformSpec):
                                       exact_int=False)
             return y
 
-        transpose = jax.linear_transpose(linear_fn, xt_struct)
         # bring the incoming gradient into (*out_spatial, C) layout
         out_ispec = dataclasses.replace(ispec, shape=ispec.out_shape)
         dyt = _to_spatial_channels(jnp.asarray(dy), out_ispec).astype(cdt)
-        (dxt,) = transpose(dyt)
+        # the map is linear in xt, so the vjp IS the exact transpose
+        # (jax.linear_transpose currently fails through the chunked
+        # lax.map of the windows fast path; vjp costs one extra forward)
+        _, vjp_fn = jax.vjp(linear_fn, jnp.zeros(xt_struct.shape,
+                                                 xt_struct.dtype))
+        (dxt,) = vjp_fn(dyt)
         dx = cast_output(dxt, ispec.dtype)
         # back to the input's original axis order, at the uncropped shape
         in_ispec = dataclasses.replace(ispec, out_shape=ispec.shape)

@@ -1,0 +1,326 @@
+"""Window-gather resampling: the TPU fast path.
+
+Why: XLA's TPU lowering of arbitrary *element* gathers is a scalar loop
+(measured ~0.1 G elem/s on v5e), while gathers of contiguous *rows* with a
+128-lane minor dimension ride the DMA fast path (measured ~1.4 G rows/s,
+~180 GB/s). The per-voxel ``(order+1)^naxis`` element gathers of the
+straightforward formulation (ops/resample.py) are therefore replaced by ONE
+row gather per output voxel:
+
+1. **Overlapping window table.** The (mirror-padded) input is expanded into
+   a table whose rows are overlapping axis-aligned windows of shape
+   ``a = (a_0, ..)`` with strides ``s = (s_0, ..)``, ``prod(a) = 128``
+   lanes. Choosing ``a_h >= s_h + order`` guarantees that the full
+   ``(order+1)``-tap interpolation stencil of ANY coordinate lies inside a
+   single window: the window index is ``t_h = i_h // s_h`` and the stencil
+   offset ``o_h = i_h mod s_h`` satisfies ``o_h + order <= a_h - 1``.
+   The table costs ``prod(a_h / s_h)`` x the input in HBM (e.g. ~26x for 3D
+   order-3) and is built by 128 strided slices — pure streaming writes.
+
+2. **One row gather per voxel** fetches the 128-lane window containing the
+   whole stencil.
+
+3. **Weighted lane reduction.** The separable spline weights are scattered
+   into a 128-lane mask vector per voxel (outer product of per-axis
+   shifted weight vectors, built with iota comparisons on the VPU) and the
+   output is ``sum(row * wrow)`` — all fused elementwise work.
+
+The computation is tap-for-tap identical to the reference semantics
+(reference deform.c:818-901); only the memory layout differs. The adjoint
+(via ``jax.linear_transpose``) turns the row gather into a row scatter-add
+and the table build into its fold — still coarse-grained memory ops.
+
+For orders/naxis where 128 lanes cannot cover the full stencil
+(order >= 4 in 3D, naxis >= 4), leading axes fall back to a short static
+loop of ``order+1`` row gathers.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from elasticdeform_tpu.ops.bspline import filter_start, spline_weights
+from elasticdeform_tpu.ops.modes import mirror_index_np
+
+LANES = 128
+
+
+def window_plan(naxis: int, order: int):
+    """Choose window widths/strides and which leading axes loop.
+
+    Returns ``(n_lead, widths, strides)`` where the first ``n_lead`` axes
+    are handled by a static (order+1)-tap loop of row gathers and the
+    remaining axes are covered by one window of ``prod(widths) = 128``
+    lanes. Constraint per windowed axis: ``widths[h] >= strides[h] + order``.
+    """
+    def strides_for(widths):
+        return tuple(max(w - order, 1) for w in widths)
+
+    if naxis == 1:
+        widths = (LANES,)
+    elif naxis == 2:
+        widths = (4, 32) if order <= 3 else (8, 16)
+    elif naxis == 3:
+        if order <= 3:
+            widths = (4, 4, 8)
+        else:
+            # 128 lanes cannot cover a 3-axis stencil of width 5/6:
+            # loop over axis 0, window the last two axes
+            return 1, (8, 16), strides_for((8, 16))
+    else:
+        # window the last three axes (or two for high order), loop the rest
+        n_lead, widths, strides = window_plan(3, order)
+        return naxis - 3 + n_lead, widths, strides
+    if any(w < order + 1 for w in widths):
+        return None  # cannot serve this config
+    return 0, widths, strides_for(widths)
+
+
+_CONV_SPECS = {
+    1: ("NWC", "WIO", "NWC"),
+    2: ("NHWC", "HWIO", "NHWC"),
+    3: ("NDHWC", "DHWIO", "NDHWC"),
+}
+
+
+@functools.lru_cache(maxsize=None)
+def _patch_kernel(widths, channels, dtype_name):
+    """One-hot grouped-conv kernel (*widths, 1, C*lanes): group c's output
+    lane ``u`` copies input channel ``c`` at in-window offset ``u``."""
+    lanes = math.prod(widths)
+    k = np.zeros((*widths, 1, channels * lanes), dtype=dtype_name)
+    for u, offsets in enumerate(np.ndindex(*widths)):
+        for c in range(channels):
+            k[(*offsets, 0, c * lanes + u)] = 1
+    return k
+
+
+def _build_table(xp, widths, strides, n_lead):
+    """Expand padded input (*spatial, C) into the overlapping window table.
+
+    Implemented as a grouped convolution with a one-hot kernel — the
+    classic im2col, placed on the MXU (a pure data-movement matmul). This
+    beats slice-and-stack construction by >1000x on TPU: 128 separate
+    strided-slice copies each have a unit minor dimension, which the
+    (8, 128) tile layout pads 128x (measured 20 ms / 64^3 volume and a
+    262 GB allocation at batch 64); the conv emits one feature-minor
+    (..., 128)-dense result directly.
+
+    Returns (table2, table_dims) where ``table2`` is
+    ``(n_rows, C * prod(widths))`` with rows laid out channel-major
+    ``(C, lanes)``, and ``table_dims`` are the per-axis window counts
+    (leading non-windowed axes keep their size).
+    """
+    spatial = xp.shape[:-1]
+    C = xp.shape[-1]
+    naxis = len(spatial)
+    nw = naxis - n_lead
+    lanes = math.prod(widths)
+
+    # window counts; every valid i_h has its window inside the (extended)
+    # padded array because the caller over-pads by widths[k]
+    counts = [(spatial[n_lead + k] - widths[k]) // strides[k] + 1
+              for k in range(nw)]
+
+    lead_dims = spatial[:n_lead]
+    batch = max(math.prod(lead_dims), 1)
+    xin = xp.reshape(batch, *spatial[n_lead:], C)
+    kernel = jnp.asarray(_patch_kernel(tuple(widths), C, xp.dtype.name))
+    dn = jax.lax.conv_dimension_numbers(xin.shape, kernel.shape,
+                                        _CONV_SPECS[nw])
+    # one-hot kernel => products are x*1; HIGHEST keeps them exact in f32
+    out = jax.lax.conv_general_dilated(
+        xin, kernel, window_strides=tuple(strides), padding="VALID",
+        dimension_numbers=dn, feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST)
+    n_rows = batch * math.prod(counts)
+    table2 = out.reshape(n_rows, C * lanes)
+    return table2, tuple(lead_dims) + tuple(counts)
+
+
+def _shifted_weight_vector(w_taps, offset, width, order, dtype):
+    """(N, width) vector with ``w_taps[l]`` at lane ``offset + l``.
+
+    ``w_taps``: list of (N,) arrays; ``offset``: (N,) int lanes.
+    """
+    n = offset.shape[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (n, width), 1)
+    off = offset[:, None]
+    out = jnp.zeros((n, width), dtype=dtype)
+    for l, w in enumerate(w_taps):
+        out = out + jnp.where(lanes == off + l, w[:, None],
+                              jnp.zeros((), dtype))
+    return out
+
+
+# rows per streamed chunk: bounds the live (chunk, 128) gather/weight
+# intermediates. 32768 rows -> 16 MB of gathered data per sample per step
+# (x batch under vmap), while each step still issues >10^4 row gathers.
+_CHUNK_ROWS = int(os.environ.get("ELASTICDEFORM_TPU_CHUNK_ROWS", "32768"))
+
+
+def _resample_chunk(table2, cc, inside, *, order, widths, strides, n_lead,
+                    tstrides, pad, channels, lane_count, compute_dtype):
+    """Resample one flat chunk of output voxels from the window table.
+
+    ``cc``: (M, naxis) boundary-mapped coordinates; ``inside``: (M,) bool or
+    None. Returns (M, C). All per-voxel VPU work (weights, window indices,
+    lane masks) lives here so that the streaming driver keeps only
+    chunk-sized intermediates alive.
+    """
+    naxis = cc.shape[-1]
+    idt = jnp.int32
+
+    starts = []
+    weights = []
+    for h in range(naxis):
+        c = cc[:, h]
+        starts.append(filter_start(c, order).astype(idt) + pad)
+        weights.append([w.astype(compute_dtype)
+                        for w in spline_weights(c, order)])
+
+    # windowed axes: window index + in-window lane offset + lane weights
+    row_base = None
+    wrow = None
+    for k, h in enumerate(range(n_lead, naxis)):
+        i_h = starts[h]
+        if strides[k] == 1:
+            t_h, o_h = i_h, jnp.zeros_like(i_h)
+        else:
+            t_h = i_h // strides[k]
+            o_h = i_h - t_h * strides[k]
+        term = t_h * tstrides[h] if tstrides[h] != 1 else t_h
+        row_base = term if row_base is None else row_base + term
+        if order == 0:
+            taps = [jnp.ones(i_h.shape, compute_dtype)]
+        else:
+            taps = weights[h]
+        wv = _shifted_weight_vector(taps, o_h, widths[k], order,
+                                    compute_dtype)
+        wrow = wv if wrow is None else (
+            wrow[:, :, None] * wv[:, None, :]).reshape(
+                wv.shape[0], wrow.shape[1] * wv.shape[1])
+
+    def gather_reduce(rows_idx, w):
+        rows = jnp.take(table2, rows_idx, axis=0, mode="clip")
+        if channels == 1:
+            return jnp.sum(rows * w, axis=-1, keepdims=True)
+        # rows are channel-major (C, lanes) — see _build_table
+        rows = rows.reshape(-1, channels, lane_count)
+        return jnp.sum(rows * w[:, None, :], axis=2)
+
+    if n_lead == 0:
+        acc = gather_reduce(row_base, wrow)
+    else:
+        # static loop over leading-axis taps ((order+1) per lead axis)
+        lead_base = None
+        for h in range(n_lead):
+            term = starts[h] * tstrides[h]
+            lead_base = term if lead_base is None else lead_base + term
+        acc = None
+
+        def visit(h, wpart, tap_offset):
+            nonlocal acc
+            if h == n_lead:
+                contrib = gather_reduce(row_base + lead_base + tap_offset,
+                                        wrow)
+                if wpart is not None:
+                    contrib = contrib * wpart[:, None]
+                acc = contrib if acc is None else acc + contrib
+                return
+            for tap in range(order + 1):
+                w = weights[h][tap]
+                wnew = wpart if order == 0 else (
+                    w if wpart is None else wpart * w)
+                visit(h + 1, wnew, tap_offset + tap * tstrides[h])
+
+        visit(0, None, 0)
+
+    if inside is not None:
+        acc = jnp.where(inside[:, None], acc,
+                        jnp.zeros((), compute_dtype))
+    return acc
+
+
+def resample_windows(x, mapped, inside, order: int, out_spatial,
+                     compute_dtype, pad: int):
+    """Window-gather resampling; same contract as resample.resample_linear.
+
+    ``x``: (*padded_spatial, C) spline coefficients where each spatial axis
+    was mirror-padded by ``pad`` on the left and by ``pad + widths[k]`` on
+    the right (the extra right padding guarantees that the last windows
+    exist; their out-of-stencil lanes carry zero weight).
+
+    Large outputs are streamed in chunks with ``lax.map`` so the
+    (chunk, 128) gathered-rows/lane-weight intermediates stay bounded —
+    materializing them for a full batched volume was measured at 2x8 GB for
+    64x 64^3 volumes.
+    """
+    naxis = len(mapped)
+    plan = window_plan(naxis, order)
+    assert plan is not None
+    n_lead, widths, strides = plan
+
+    n_out = math.prod(out_spatial)
+    C = x.shape[-1]
+    table2, table_dims = _build_table(x, widths, strides, n_lead)
+    lane_count = math.prod(widths)
+
+    # row-major strides over table_dims
+    tstrides = [0] * naxis
+    acc_s = 1
+    for h in range(naxis - 1, -1, -1):
+        tstrides[h] = acc_s
+        acc_s *= table_dims[h]
+
+    kwargs = dict(order=order, widths=widths, strides=strides, n_lead=n_lead,
+                  tstrides=tstrides, pad=pad, channels=C,
+                  lane_count=lane_count, compute_dtype=compute_dtype)
+
+    cc_flat = jnp.stack([m.reshape(n_out).astype(compute_dtype)
+                         for m in mapped], axis=-1)
+    inside_flat = None if inside is None else inside.reshape(n_out)
+
+    if n_out <= _CHUNK_ROWS:
+        acc = _resample_chunk(table2, cc_flat, inside_flat, **kwargs)
+        return acc.reshape(*out_spatial, C)
+
+    n_chunks = -(-n_out // _CHUNK_ROWS)
+    n_padded = n_chunks * _CHUNK_ROWS
+    cc_p = jnp.pad(cc_flat, ((0, n_padded - n_out), (0, 0)))
+    cc_p = cc_p.reshape(n_chunks, _CHUNK_ROWS, naxis)
+    if inside_flat is None:
+        def body(cc_chunk):
+            return _resample_chunk(table2, cc_chunk, None, **kwargs)
+        acc = jax.lax.map(body, cc_p)
+    else:
+        ins_p = jnp.pad(inside_flat, (0, n_padded - n_out))
+        ins_p = ins_p.reshape(n_chunks, _CHUNK_ROWS)
+
+        def body(args):
+            cc_chunk, ins_chunk = args
+            return _resample_chunk(table2, cc_chunk, ins_chunk, **kwargs)
+        acc = jax.lax.map(body, (cc_p, ins_p))
+    acc = acc.reshape(n_padded, C)[:n_out]
+    return acc.reshape(*out_spatial, C)
+
+
+def window_pad_indices(length: int, pad: int, extra_right: int) -> np.ndarray:
+    """Static index vector for mirror-pad + right extension.
+
+    Left ``pad`` and right ``pad`` use the mirror fold (identical to the
+    plain gather path); the additional ``extra_right`` entries only exist so
+    the last overlapping windows are in-bounds — they are never touched by a
+    nonzero weight, so clamped edge indices are fine.
+    """
+    core = np.arange(-pad, length + pad)
+    idx = mirror_index_np(core, length)
+    tail = np.full((extra_right,), length - 1, dtype=np.int64)
+    return np.concatenate([idx, tail])
