@@ -40,18 +40,22 @@ def main():
     def fwd_grad(x, d, gy):
         y, vjp = jax.vjp(lambda x_: fwd(x_, d), x)
         (gx,) = vjp(gy)
-        return y, gx
+        # reduce to scalars: fetching them forces real completion even on
+        # backends where block_until_ready is effectively async (remote
+        # TPU tunnels) — the reductions depend on every output element
+        return jnp.sum(y), jnp.sum(gx)
 
-    # compile + warmup
-    y, gx = fwd_grad(x, d, gy)
-    y.block_until_ready()
+    # compile + warmup (fetch to synchronize)
+    sy, sg = fwd_grad(x, d, gy)
+    float(sy); float(sg)
 
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.perf_counter()
     for _ in range(iters):
-        y, gx = fwd_grad(x, d, gy)
-    y.block_until_ready()
-    gx.block_until_ready()
+        sy, sg = fwd_grad(x, d, gy)
+    # device executes in-order: fetching the last iteration's scalars
+    # synchronizes the whole timed sequence with a single round-trip
+    float(sy); float(sg)
     dt = (time.perf_counter() - t0) / iters
 
     voxels = batch * size ** 3

@@ -35,6 +35,7 @@ from elasticdeform_tpu.api import (
 )
 from elasticdeform_tpu.core import (
     deform,
+    deform_batch,
     deform_gradient,
     random_displacement,
     deform_random,
@@ -47,6 +48,7 @@ __all__ = [
     "deform_random_grid",
     "deform_grid_gradient",
     "deform",
+    "deform_batch",
     "deform_gradient",
     "random_displacement",
     "deform_random",

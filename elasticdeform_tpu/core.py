@@ -116,6 +116,75 @@ def deform_gradient(dY, displacement, *, order=3, mode='constant', cval=0.0,
     return dxs if isinstance(dY, list) else dxs[0]
 
 
+class _Shaped:
+    def __init__(self, shape, dtype):
+        self.shape = tuple(int(s) for s in shape)
+        self.ndim = len(self.shape)
+        self.dtype = dtype
+
+
+def deform_batch(X, displacement, *, order=3, mode='constant', cval=0.0,
+                 crop=None, prefilter=True, axis=None, affine=None,
+                 rotate=None, zoom=None, strategy="auto", batch_impl="auto"):
+    """Batched elastic deformation with per-sample displacement grids.
+
+    ``X``: (B, *image_shape) array (or list of such arrays sharing the
+    deformation); ``displacement``: (B, naxis, *points). All other
+    parameters are shared across the batch and follow :func:`deform`
+    (``axis``/``crop`` indices refer to the per-sample shape).
+
+    ``batch_impl`` selects how the batch axis is woven through the kernels:
+
+    * ``'native'`` — the batch folds into the window-table rows so the
+      resampling gather keeps its fast 2-D row form; fastest *forward*
+      (measured 78 vs 67 Mvox/s on 64x 64^3 volumes: a vmapped gather
+      lowers with an extra transposed 8 GB copy). Its XLA-derived backward
+      is currently slower (large-table scatter + transposed grouped conv).
+    * ``'vmap'`` — ``jax.vmap`` over the per-sample kernel; currently the
+      faster choice when differentiating through the op.
+    * ``'auto'`` (default) — ``'vmap'`` (best fwd+grad today); forward-only
+      pipelines should pass ``'native'``.
+    """
+    from elasticdeform_tpu.ops.deform import deform_apply_batched
+    from elasticdeform_tpu.ops.windows import window_plan
+
+    Xs = _n.normalize_inputs(X)
+    B = int(Xs[0].shape[0])
+    assert all(int(x.shape[0]) == B for x in Xs), \
+        'All inputs should have the same batch size.'
+    assert int(displacement.shape[0]) == B, \
+        'displacement must have a leading batch axis matching X.'
+
+    samples = [_Shaped(x.shape[1:], x.dtype) for x in Xs]
+    axis_n, deform_shape = _n.normalize_axis_list(axis, samples)
+    output_shapes, output_offset = _n.compute_output_shapes(
+        samples, axis_n, deform_shape, crop)
+    disp_sample = _Shaped(displacement.shape[1:], displacement.dtype)
+    _n.normalize_displacement(disp_sample, samples, axis_n)
+    orders = _n.normalize_order(order, samples)
+    modes = _n.normalize_mode(mode, samples)
+    cvals = _n.normalize_cval(cval, samples)
+    inv_affine = _n.resolve_affine(affine, rotate, zoom, axis_n,
+                                   output_shapes)
+    spec = _n.build_spec(samples, axis_n, deform_shape, output_shapes,
+                         output_offset, orders, modes, cvals, prefilter,
+                         displacement.dtype, inv_affine is not None,
+                         strategy=strategy)
+
+    windows_ok = strategy in ("auto", "windows") and all(
+        window_plan(len(i.axis), i.order) is not None for i in spec.inputs)
+    use_native = batch_impl == "native" and windows_ok
+    if use_native:
+        ys = deform_apply_batched([jnp.asarray(x) for x in Xs],
+                                  jnp.asarray(displacement), inv_affine,
+                                  spec)
+    else:
+        fn = lambda xs, d: deform_apply(list(xs), d, inv_affine, spec)
+        ys = jax.vmap(fn)(tuple(jnp.asarray(x) for x in Xs),
+                          jnp.asarray(displacement))
+    return ys if isinstance(X, list) else ys[0]
+
+
 def random_displacement(key, points, sigma=25.0, *, ndim=None,
                         dtype=jnp.float32):
     """Sample a random control-point displacement grid with an explicit key.

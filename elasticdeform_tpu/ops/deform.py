@@ -202,6 +202,44 @@ def _deform_one_linear(xt, cc, ispec: InputSpec, spec: DeformSpec, cdt,
     return y, inside
 
 
+def _prefilter_input_batched(xt, ispec: InputSpec, spec: DeformSpec, cdt,
+                             exact_int: bool):
+    """Batched twin of :func:`_prefilter_input` (leading batch axis)."""
+    naxis = len(ispec.axis)
+    xf = xt.astype(cdt)
+    if spec.prefilter and ispec.order > 1:
+        int_like = np.dtype(ispec.dtype).kind in "bui"
+        for d in range(naxis):
+            xf = spline_filter1d(xf, ispec.order, d + 1)
+            if exact_int and int_like:
+                xf = cast_output(xf, ispec.dtype).astype(cdt)
+    return xf
+
+
+def _deform_one_linear_batched(xt, cc, ispec: InputSpec, spec: DeformSpec,
+                               cdt, exact_int: bool):
+    """Batched twin of :func:`_deform_one_linear`.
+
+    ``xt``: (B, *spatial, C); ``cc``: list of (B, *out_spatial). Requires
+    the windows strategy (the caller guarantees the plan exists): the batch
+    folds into the window-table rows so the resampling gather stays 2-D.
+    """
+    xf = _prefilter_input_batched(xt, ispec, spec, cdt, exact_int)
+    mapped, inside = _map_input_coordinates(cc, ispec, spec)
+    naxis = len(mapped)
+    plan = window_plan(naxis, ispec.order)
+    n_lead, widths, strides = plan
+    pad = pad_amount(ispec.order)
+    xp = xf
+    for h in range(naxis):
+        extra = widths[h - n_lead] if h >= n_lead else 0
+        idx = window_pad_indices(xf.shape[h + 1], pad, extra)
+        xp = jnp.take(xp, jnp.asarray(idx), axis=h + 1)
+    y = resample_windows(xp, mapped, inside, ispec.order, spec.out_spatial,
+                         cdt, pad, batched=True)
+    return y, inside
+
+
 def deform_apply(xs, displacement, affine, spec: DeformSpec):
     """Forward deformation for all inputs. Returns a list of outputs."""
     cdt = spec.compute_dtype
@@ -222,6 +260,65 @@ def deform_apply(xs, displacement, affine, spec: DeformSpec):
                               jnp.asarray(ispec.cval, dtype=cdt))
         y = cast_output(y, ispec.dtype)
         ys.append(_from_spatial_channels(y, ispec, spec.out_spatial))
+    return ys
+
+
+def _batched_coordinates(spec: DeformSpec, displ, affine, cdt):
+    """Batched sample coordinates: displ is (B, naxis, *out_spatial);
+    affine (if any) is shared (naxis, naxis+1) or per-sample (B, ...)."""
+    naxis = len(spec.out_spatial)
+    B = displ.shape[0]
+    coords = [jax.lax.broadcasted_iota(cdt, spec.out_spatial, h)
+              for h in range(naxis)]
+    if affine is not None:
+        A = jnp.asarray(affine).astype(cdt)
+        per_sample = A.ndim == 3
+        cc = []
+        for h in range(naxis):
+            if per_sample:
+                acc = A[:, h, naxis].reshape((B,) + (1,) * naxis)
+                for l in range(naxis):
+                    acc = acc + (A[:, h, l].reshape((B,) + (1,) * naxis)
+                                 * coords[l])
+            else:
+                acc = A[h, naxis]
+                for l in range(naxis):
+                    acc = acc + A[h, l] * coords[l]
+            cc.append(acc)
+    else:
+        cc = coords
+    return [cc[h] + spec.offsets[h] + displ[:, h] for h in range(naxis)]
+
+
+def deform_apply_batched(xs, displacement, affine, spec: DeformSpec):
+    """Forward deformation over a leading batch axis with per-sample
+    displacement grids — the high-throughput augmentation path.
+
+    ``xs[i]``: (B, *per_sample_shape); ``displacement``: (B, naxis, *points).
+    Per-sample semantics identical to :func:`deform_apply`; the batch is
+    woven natively through every stage (matmuls batch on the MXU, the
+    window table folds the batch into its rows) instead of ``vmap`` so the
+    resampling gather keeps its fast 2-D row form.
+    """
+    cdt = spec.compute_dtype
+    disp_f = jax.vmap(lambda d: _prefilter_displacement(d, cdt))(displacement)
+    displ = jax.vmap(lambda df: dense_displacement(
+        df, spec.out_spatial, spec.deform_shape, spec.offsets, cdt))(disp_f)
+    cc = _batched_coordinates(spec, displ, affine, cdt)
+
+    ys = []
+    for x, ispec in zip(xs, spec.inputs):
+        x = jnp.asarray(x)
+        xt = jax.vmap(lambda a, _i=ispec: _to_spatial_channels(a, _i))(x)
+        y, inside = _deform_one_linear_batched(xt, cc, ispec, spec, cdt,
+                                               exact_int=True)
+        if inside is not None:
+            mask = inside[..., None]
+            y = y + jnp.where(mask, jnp.zeros((), cdt),
+                              jnp.asarray(ispec.cval, dtype=cdt))
+        y = cast_output(y, ispec.dtype)
+        ys.append(jax.vmap(lambda a, _i=ispec: _from_spatial_channels(
+            a, _i, spec.out_spatial))(y))
     return ys
 
 

@@ -69,6 +69,8 @@ class AugmentationPipeline:
         self._key = key
         self._prefetch = prefetch
         self._sharding = sharding
+        # forward-only augmentation: use the native batched kernels
+        kwargs.setdefault("batch_impl", "native")
         self._kwargs = dict(kwargs, sigma=sigma, points=points)
         self._fn = jax.jit(
             lambda k, x: batched_random_deform(k, x, **self._kwargs))

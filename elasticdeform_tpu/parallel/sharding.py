@@ -39,22 +39,28 @@ def batched_deform(X, displacements, **kwargs):
         X: array of shape ``(batch, *image_shape)`` (or a list of such
             arrays sharing the displacement).
         displacements: ``(batch, naxis, *points)`` per-sample control grids.
-        **kwargs: forwarded to :func:`elasticdeform_tpu.deform` (static).
+        **kwargs: forwarded to :func:`elasticdeform_tpu.deform_batch`
+            (static).
 
-    Returns the deformed batch (or list of batches).
+    Returns the deformed batch (or list of batches). Uses the native
+    batched kernels (see :func:`elasticdeform_tpu.deform_batch`).
     """
-    fn = functools.partial(_core.deform, **kwargs)
-    return jax.vmap(fn)(X, displacements)
+    return _core.deform_batch(X, displacements, **kwargs)
 
 
 def batched_random_deform(key, X, sigma=25.0, points=3, **kwargs):
-    """Random augmentation over a batch: split the key per sample and vmap."""
+    """Random augmentation over a batch with per-sample random grids."""
+    import jax.numpy as jnp
     xs = X[0] if isinstance(X, list) else X
     batch = xs.shape[0]
-    keys = jax.random.split(key, batch)
-    fn = functools.partial(_core.deform_random, sigma=sigma, points=points,
-                           **kwargs)
-    return jax.vmap(fn)(keys, X)
+    naxis = len(kwargs.get("axis")) if kwargs.get("axis") is not None \
+        else xs.ndim - 1
+    if not isinstance(points, (list, tuple)):
+        points = (points,) * naxis
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    displacement = jax.random.normal(
+        key, (batch, naxis, *points), dtype=dtype) * sigma
+    return _core.deform_batch(X, displacement, **kwargs)
 
 
 def sharded_deform(mesh: Mesh, X, displacements, *, axis_name: str = "batch",

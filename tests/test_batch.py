@@ -25,6 +25,45 @@ def test_vmap_matches_loop():
                                    rtol=1e-10, atol=1e-10)
 
 
+@pytest.mark.parametrize("order", [0, 1, 3])
+def test_native_batch_matches_vmap(order):
+    batch = 3
+    X = jnp.asarray(RNG.random((batch, 12, 14, 10)))
+    D = jnp.asarray(RNG.standard_normal((batch, 3, 3, 3, 3)) * 4)
+    a = ed.deform_batch(X, D, order=order, mode='mirror',
+                        batch_impl='native')
+    b = ed.deform_batch(X, D, order=order, mode='mirror', batch_impl='vmap')
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_native_batch_crop_channels_affine():
+    batch = 2
+    X = jnp.asarray(RNG.random((batch, 3, 24, 20)))
+    D = jnp.asarray(RNG.standard_normal((batch, 2, 3, 3)) * 4)
+    kw = dict(axis=(1, 2), crop=(slice(4, 20), slice(2, 18)), rotate=10,
+              zoom=1.1, cval=0.5)
+    a = ed.deform_batch(X, D, batch_impl='native', **kw)
+    b = ed.deform_batch(X, D, batch_impl='vmap', **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_native_batch_gradient():
+    batch = 2
+    X = jnp.asarray(RNG.random((batch, 12, 10)))
+    D = jnp.asarray(RNG.standard_normal((batch, 2, 3, 3)) * 2)
+
+    def loss(x, impl):
+        return jnp.sum(ed.deform_batch(x, D, order=3, mode='mirror',
+                                       batch_impl=impl) ** 2)
+
+    ga = jax.grad(lambda x: loss(x, 'native'))(X)
+    gb = jax.grad(lambda x: loss(x, 'vmap'))(X)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-10, atol=1e-10)
+
+
 def test_vmap_with_crop_and_channels():
     batch = 2
     X = jnp.asarray(RNG.random((batch, 3, 20, 18)))
