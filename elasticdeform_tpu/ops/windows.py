@@ -102,7 +102,108 @@ def _patch_kernel(widths, channels, dtype_name):
     return k
 
 
+@functools.lru_cache(maxsize=None)
+def _fold_matrix(P: int, T: int, a: int, s: int, dtype_name: str):
+    """(P, T, a) 0/1 fold tensor: entry 1 iff window t covers p at offset u
+    (``t*s + u == p``) — the adjoint of patch extraction as a contraction."""
+    A = np.zeros((P, T, a), dtype=dtype_name)
+    for t in range(T):
+        base = t * s
+        top = min(a, P - base)
+        for u in range(top):
+            A[base + u, t, u] = 1
+    return A
+
+
+def _fold_table(ct, spatial, widths, strides, n_lead, channels, nbatch,
+                batched):
+    """Adjoint of the window-table build: overlap-add the cotangent rows
+    back onto the padded volume, as per-axis matmul contractions.
+
+    XLA's autodiff of the one-hot grouped conv lowers to an lhs-dilated
+    transposed conv measured at ~280 ms / 64x 64^3 batch; this contraction
+    chain does the same fold in ~108 ms on the MXU.
+    """
+    naxis = len(spatial)
+    nw = naxis - n_lead
+    counts = [(spatial[n_lead + k] - widths[k]) // strides[k] + 1
+              for k in range(nw)]
+    lead = math.prod(spatial[:n_lead]) if n_lead else 1
+    BL = nbatch * lead
+    dt = ct.dtype.name
+    z = ct.reshape(BL, *counts, channels, *widths)
+    # contract (count_k, width_k) -> P_k one axis at a time; at step k the
+    # dims are [BL, T_k..T_{nw-1}, C, a_k..a_{nw-1}, P_0..P_{k-1}], so the
+    # count axis is 1 and the width axis is nw-k+2; tensordot appends the
+    # new P axis at the end
+    for k in range(nw):
+        A = jnp.asarray(_fold_matrix(spatial[n_lead + k], counts[k],
+                                     widths[k], strides[k], dt))
+        z = jnp.tensordot(z, A, axes=[[1, nw - k + 2], [1, 2]],
+                          precision=jax.lax.Precision.HIGHEST)
+    # z: (BL, C, P_{n_lead}..P_{naxis-1}) -> (B?, *spatial, C)
+    z = jnp.moveaxis(z, 1, -1)
+    if batched:
+        return z.reshape(nbatch, *spatial, channels)
+    return z.reshape(*spatial, channels)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
+def _table_op(xp, widths, strides, n_lead, batched, spatial, channels,
+              nbatch):
+    """Window-table build with a hand-written adjoint.
+
+    The primal is the grouped one-hot conv of :func:`_build_table_impl`;
+    the backward is the per-axis matmul fold of :func:`_fold_table` (XLA's
+    own transposed-conv derivative is ~3x slower, measured 280 vs 108 ms on
+    a 64x 64^3 batch). Reverse-mode only, like any custom_vjp.
+    """
+    table2, _ = _build_table_impl(xp, widths, strides, n_lead, batched)
+    return table2
+
+
+def _table_op_fwd(xp, widths, strides, n_lead, batched, spatial, channels,
+                  nbatch):
+    table2, _ = _build_table_impl(xp, widths, strides, n_lead, batched)
+    return table2, None
+
+
+def _table_op_bwd(widths, strides, n_lead, batched, spatial, channels,
+                  nbatch, _res, ct):
+    # The fold's intermediates expose the window dims (e.g. (4,4,8)) as
+    # minor axes, which the (8,128) tile layout pads ~10x — at batch 64
+    # that is a 21 GB reshape. Process the batch in groups to bound it.
+    group = 4
+    if not batched or nbatch <= group:
+        dxp = _fold_table(ct, spatial, widths, strides, n_lead, channels,
+                          nbatch, batched)
+        return (dxp,)
+    rows = ct.shape[0] // nbatch
+    parts = []
+    for b0 in range(0, nbatch, group):
+        g = min(group, nbatch - b0)
+        ct_g = jax.lax.slice_in_dim(ct, b0 * rows, (b0 + g) * rows, axis=0)
+        parts.append(_fold_table(ct_g, spatial, widths, strides, n_lead,
+                                 channels, g, True))
+    return (jnp.concatenate(parts, axis=0),)
+
+
+_table_op.defvjp(_table_op_fwd, _table_op_bwd)
+
+
 def _build_table(xp, widths, strides, n_lead, batched=False):
+    """Build the window table with the custom-adjoint conv op."""
+    spatial = xp.shape[1:-1] if batched else xp.shape[:-1]
+    table2 = _table_op(xp, tuple(widths), tuple(strides), n_lead, batched,
+                       tuple(spatial), xp.shape[-1],
+                       xp.shape[0] if batched else 1)
+    nw = len(spatial) - n_lead
+    counts = [(spatial[n_lead + k] - widths[k]) // strides[k] + 1
+              for k in range(nw)]
+    return table2, tuple(spatial[:n_lead]) + tuple(counts)
+
+
+def _build_table_impl(xp, widths, strides, n_lead, batched=False):
     """Expand padded input (*spatial, C) into the overlapping window table.
 
     Implemented as a grouped convolution with a one-hot kernel — the
