@@ -140,10 +140,11 @@ def deform_batch(X, displacement, *, order=3, mode='constant', cval=0.0,
       (measured 78 vs 67 Mvox/s on 64x 64^3 volumes: a vmapped gather
       lowers with an extra transposed 8 GB copy). Its XLA-derived backward
       is currently slower (large-table scatter + transposed grouped conv).
-    * ``'vmap'`` — ``jax.vmap`` over the per-sample kernel; currently the
-      faster choice when differentiating through the op.
-    * ``'auto'`` (default) — ``'vmap'`` (best fwd+grad today); forward-only
-      pipelines should pass ``'native'``.
+    * ``'vmap'`` — ``jax.vmap`` over the per-sample kernel.
+    * ``'auto'`` (default) — ``'native'``: with the hand-written adjoints
+      of the table build and gather stage it is the fastest in both
+      directions (measured 77 Mvox/s forward, 26 Mvox/s forward+gradient
+      on 64x 64^3 volumes vs 62/24 for vmap).
     """
     from elasticdeform_tpu.ops.deform import deform_apply_batched
     from elasticdeform_tpu.ops.windows import window_plan
@@ -173,7 +174,7 @@ def deform_batch(X, displacement, *, order=3, mode='constant', cval=0.0,
 
     windows_ok = strategy in ("auto", "windows") and all(
         window_plan(len(i.axis), i.order) is not None for i in spec.inputs)
-    use_native = batch_impl == "native" and windows_ok
+    use_native = batch_impl in ("native", "auto") and windows_ok
     if use_native:
         ys = deform_apply_batched([jnp.asarray(x) for x in Xs],
                                   jnp.asarray(displacement), inv_affine,

@@ -40,7 +40,7 @@ from __future__ import annotations
 import functools
 import math
 import os
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -269,90 +269,225 @@ def _shifted_weight_vector(w_taps, offset, width, order, dtype):
 # (x batch under vmap), while each step still issues >10^4 row gathers.
 _CHUNK_ROWS = int(os.environ.get("ELASTICDEFORM_TPU_CHUNK_ROWS", "32768"))
 
+# cap on the gathered-value buffer materialized per backward scatter group
+_BWD_GROUP_BYTES = int(os.environ.get(
+    "ELASTICDEFORM_TPU_BWD_GROUP_BYTES", str(1 << 30)))
 
-def _resample_chunk(table2, cc, inside, row_offset=None, *, order, widths,
-                    strides, n_lead, tstrides, pad, channels, lane_count,
-                    compute_dtype):
-    """Resample one flat chunk of output voxels from the window table.
 
-    ``cc``: (M, naxis) boundary-mapped coordinates; ``inside``: (M,) bool or
-    None; ``row_offset``: (M,) int32 per-voxel row offset (the sample's row
-    block in a batched table) or None. Returns (M, C). All per-voxel VPU
-    work (weights, window indices, lane masks) lives here so that the
-    streaming driver keeps only chunk-sized intermediates alive.
+class _StageParams(NamedTuple):
+    """Static configuration of the gather stage (hashable for custom_vjp)."""
+    order: int
+    widths: tuple
+    strides: tuple
+    n_lead: int
+    tstrides: tuple
+    pad: int
+    channels: int
+    lane_count: int
+    compute_dtype: str
+    n_out_s: int           # output voxels per sample
+    rows_per_sample: int
+    nbatch: int            # 1 when not batched
+
+
+def _chunk_weights(cc, p: _StageParams):
+    """Per-voxel window indices and lane weights for one flat chunk.
+
+    Returns (row_base, wrow, lead) where ``row_base`` (M,) indexes the
+    per-sample table, ``wrow`` (M, lanes) are the combined lane weights of
+    the windowed axes, and ``lead`` is the per-lead-axis tap weight/stride
+    info for the static tap loop.
     """
     naxis = cc.shape[-1]
     idt = jnp.int32
-
     starts = []
     weights = []
     for h in range(naxis):
         c = cc[:, h]
-        starts.append(filter_start(c, order).astype(idt) + pad)
-        weights.append([w.astype(compute_dtype)
-                        for w in spline_weights(c, order)])
+        starts.append(filter_start(c, p.order).astype(idt) + p.pad)
+        weights.append([w.astype(p.compute_dtype)
+                        for w in spline_weights(c, p.order)])
 
-    # windowed axes: window index + in-window lane offset + lane weights
-    row_base = row_offset
+    row_base = None
     wrow = None
-    for k, h in enumerate(range(n_lead, naxis)):
+    for k, h in enumerate(range(p.n_lead, naxis)):
         i_h = starts[h]
-        if strides[k] == 1:
+        if p.strides[k] == 1:
             t_h, o_h = i_h, jnp.zeros_like(i_h)
         else:
-            t_h = i_h // strides[k]
-            o_h = i_h - t_h * strides[k]
-        term = t_h * tstrides[h] if tstrides[h] != 1 else t_h
+            t_h = i_h // p.strides[k]
+            o_h = i_h - t_h * p.strides[k]
+        term = t_h * p.tstrides[h] if p.tstrides[h] != 1 else t_h
         row_base = term if row_base is None else row_base + term
-        if order == 0:
-            taps = [jnp.ones(i_h.shape, compute_dtype)]
+        if p.order == 0:
+            taps = [jnp.ones(i_h.shape, p.compute_dtype)]
         else:
             taps = weights[h]
-        wv = _shifted_weight_vector(taps, o_h, widths[k], order,
-                                    compute_dtype)
+        wv = _shifted_weight_vector(taps, o_h, p.widths[k], p.order,
+                                    p.compute_dtype)
         wrow = wv if wrow is None else (
             wrow[:, :, None] * wv[:, None, :]).reshape(
                 wv.shape[0], wrow.shape[1] * wv.shape[1])
+    for h in range(p.n_lead):
+        row_base = row_base + starts[h] * p.tstrides[h]
+    return row_base, wrow, weights
+
+
+def _lead_taps(weights, p: _StageParams):
+    """Static list of (tap_row_offset, tap_weight_or_None) for the leading
+    (non-windowed) axes; a single (0, None) entry when there are none."""
+    taps = [(0, None)]
+    for h in range(p.n_lead):
+        new = []
+        for off, w in taps:
+            for t in range(p.order + 1):
+                wt = weights[h][t]
+                wnew = w if p.order == 0 else (wt if w is None else w * wt)
+                new.append((off + t * p.tstrides[h], wnew))
+        taps = new
+    return taps
+
+
+def _resample_chunk(table2, cc, row_offset, p: _StageParams):
+    """Resample one flat chunk of output voxels from the window table."""
+    row_base, wrow, weights = _chunk_weights(cc, p)
+    if row_offset is not None:
+        row_base = row_base + row_offset
 
     def gather_reduce(rows_idx, w):
         rows = jnp.take(table2, rows_idx, axis=0, mode="clip")
-        if channels == 1:
+        if p.channels == 1:
             return jnp.sum(rows * w, axis=-1, keepdims=True)
         # rows are channel-major (C, lanes) — see _build_table
-        rows = rows.reshape(-1, channels, lane_count)
+        rows = rows.reshape(-1, p.channels, p.lane_count)
         return jnp.sum(rows * w[:, None, :], axis=2)
 
-    if n_lead == 0:
-        acc = gather_reduce(row_base, wrow)
-    else:
-        # static loop over leading-axis taps ((order+1) per lead axis)
-        lead_base = None
-        for h in range(n_lead):
-            term = starts[h] * tstrides[h]
-            lead_base = term if lead_base is None else lead_base + term
-        acc = None
-
-        def visit(h, wpart, tap_offset):
-            nonlocal acc
-            if h == n_lead:
-                contrib = gather_reduce(row_base + lead_base + tap_offset,
-                                        wrow)
-                if wpart is not None:
-                    contrib = contrib * wpart[:, None]
-                acc = contrib if acc is None else acc + contrib
-                return
-            for tap in range(order + 1):
-                w = weights[h][tap]
-                wnew = wpart if order == 0 else (
-                    w if wpart is None else wpart * w)
-                visit(h + 1, wnew, tap_offset + tap * tstrides[h])
-
-        visit(0, None, 0)
-
-    if inside is not None:
-        acc = jnp.where(inside[:, None], acc,
-                        jnp.zeros((), compute_dtype))
+    acc = None
+    for tap_off, tap_w in _lead_taps(weights, p):
+        contrib = gather_reduce(row_base + tap_off if tap_off else row_base,
+                                wrow)
+        if tap_w is not None:
+            contrib = contrib * tap_w[:, None]
+        acc = contrib if acc is None else acc + contrib
     return acc
+
+
+def _row_offsets(p: _StageParams):
+    if p.nbatch <= 1:
+        return None
+    return (jax.lax.broadcasted_iota(jnp.int32, (p.nbatch, p.n_out_s), 0)
+            * p.rows_per_sample).reshape(p.nbatch * p.n_out_s)
+
+
+def _stage_primal(table2, cc_flat, p: _StageParams):
+    """Streamed gather-reduce over all output voxels; returns (N, C)."""
+    n_out = cc_flat.shape[0]
+    naxis = cc_flat.shape[-1]
+    row_off = _row_offsets(p)
+
+    if n_out <= _CHUNK_ROWS:
+        return _resample_chunk(table2, cc_flat, row_off, p)
+
+    n_chunks = -(-n_out // _CHUNK_ROWS)
+    n_padded = n_chunks * _CHUNK_ROWS
+    extra = n_padded - n_out
+    cc_p = jnp.pad(cc_flat, ((0, extra), (0, 0)))
+    cc_p = cc_p.reshape(n_chunks, _CHUNK_ROWS, naxis)
+    if row_off is None:
+        acc = jax.lax.map(
+            lambda c: _resample_chunk(table2, c, None, p), cc_p)
+    else:
+        off_p = jnp.pad(row_off, (0, extra)).reshape(n_chunks, _CHUNK_ROWS)
+        acc = jax.lax.map(
+            lambda args: _resample_chunk(table2, args[0], args[1], p),
+            (cc_p, off_p))
+    return acc.reshape(n_padded, p.channels)[:n_out]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_stage(table2, cc_flat, p: _StageParams):
+    """Gather stage with a hand-written adjoint.
+
+    The XLA transpose of the streamed ``lax.map`` accumulates the table
+    cotangent through a scan carry, copying the full table every step
+    (measured 13 M rows/s); the custom backward instead scatters each
+    sample group into its own fresh table block — no carried accumulation
+    (sample groups touch disjoint rows).
+    """
+    return _stage_primal(table2, cc_flat, p)
+
+
+def _gather_stage_fwd(table2, cc_flat, p):
+    return _stage_primal(table2, cc_flat, p), (table2, cc_flat)
+
+
+def _gather_stage_bwd(p, res, g):
+    table2, cc_flat = res
+    n_out = cc_flat.shape[0]
+    naxis = cc_flat.shape[-1]
+    B = max(p.nbatch, 1)
+    n_s = p.n_out_s
+    bytes_per_sample = n_s * p.channels * p.lane_count * 4
+    group = max(1, min(B, _BWD_GROUP_BYTES // max(bytes_per_sample, 1)))
+
+    # voxel chunk for the scatter-value buffers: bounds the live
+    # (chunk, 128) weight/value intermediates, which matters when this
+    # backward itself runs under vmap (each instance would otherwise
+    # materialize its full per-sample buffer, x batch)
+    vchunk = 4 * _CHUNK_ROWS
+
+    d_tables = []
+    d_ccs = []
+    for b0 in range(0, B, group):
+        gsz = min(group, B - b0)
+        sl = slice(b0 * n_s, (b0 + gsz) * n_s)
+        cc_g = cc_flat[sl]
+        g_g = g[sl]
+        m_g = gsz * n_s
+
+        # --- d_table: per-tap scatter of g * lane weights, voxel-chunked;
+        # the in-place at[].add chain has no scan carry, so XLA aliases the
+        # destination buffer across steps ---
+        dt = jnp.zeros((gsz * p.rows_per_sample,
+                        p.channels * p.lane_count), p.compute_dtype)
+        for v0 in range(0, m_g, vchunk):
+            v1 = min(v0 + vchunk, m_g)
+            cc_c = cc_g[v0:v1]
+            g_c = g_g[v0:v1]
+            row_base, wrow, weights = _chunk_weights(cc_c, p)
+            if B > 1:
+                vox = jnp.arange(v0, v1, dtype=jnp.int32)
+                row_base = row_base + (vox // n_s) * p.rows_per_sample
+            for tap_off, tap_w in _lead_taps(weights, p):
+                gv = g_c if tap_w is None else g_c * tap_w[:, None]
+                if p.channels == 1:
+                    vals = gv * wrow
+                else:
+                    vals = (gv[:, :, None] * wrow[:, None, :]).reshape(
+                        gv.shape[0], p.channels * p.lane_count)
+                idx = row_base + tap_off if tap_off else row_base
+                dt = dt.at[idx].add(vals)
+        d_tables.append(dt)
+
+        # --- d_cc: forward-mode through the weight polynomials ---
+        # (dead-code-eliminated by XLA when the caller does not use it)
+        dcc_cols = []
+        group_p = p._replace(nbatch=gsz)
+        for h in range(naxis):
+            tangent = jnp.zeros_like(cc_g).at[:, h].set(1.0)
+            _, t_out = jax.jvp(
+                lambda c: _stage_primal(table2, c, group_p), (cc_g,),
+                (tangent,))
+            dcc_cols.append(jnp.sum(t_out * g_g, axis=-1))
+        d_ccs.append(jnp.stack(dcc_cols, axis=-1))
+
+    d_table = d_tables[0] if len(d_tables) == 1 else \
+        jnp.concatenate(d_tables, axis=0)
+    d_cc = d_ccs[0] if len(d_ccs) == 1 else jnp.concatenate(d_ccs, axis=0)
+    return (d_table, d_cc)
+
+
+_gather_stage.defvjp(_gather_stage_fwd, _gather_stage_bwd)
 
 
 def resample_windows(x, mapped, inside, order: int, out_spatial,
@@ -367,13 +502,11 @@ def resample_windows(x, mapped, inside, order: int, out_spatial,
     With ``batched=True``, ``x`` is (B, *padded_spatial, C) and ``mapped``/
     ``inside`` carry a leading batch axis; the batch folds into the table
     rows so the gather stays a plain 2-D row gather — ``vmap``-batched
-    gathers lower with an extra transposed copy and off the fast DMA path
-    (measured ~4x slower and 2x the memory).
+    gathers lower with an extra transposed copy and off the fast DMA path.
 
     Large outputs are streamed in chunks with ``lax.map`` so the
-    (chunk, 128) gathered-rows/lane-weight intermediates stay bounded —
-    materializing them for a full batched volume was measured at 2x8 GB for
-    64x 64^3 volumes.
+    (chunk, 128) gathered-rows/lane-weight intermediates stay bounded; the
+    gather stage carries a custom adjoint (see :func:`_gather_stage`).
     """
     naxis = len(mapped)
     plan = window_plan(naxis, order)
@@ -396,47 +529,21 @@ def resample_windows(x, mapped, inside, order: int, out_spatial,
         tstrides[h] = acc_s
         acc_s *= table_dims[h]
 
-    kwargs = dict(order=order, widths=widths, strides=strides, n_lead=n_lead,
-                  tstrides=tstrides, pad=pad, channels=C,
-                  lane_count=lane_count, compute_dtype=compute_dtype)
+    p = _StageParams(order=order, widths=tuple(widths),
+                     strides=tuple(strides), n_lead=n_lead,
+                     tstrides=tuple(tstrides), pad=pad, channels=C,
+                     lane_count=lane_count, compute_dtype=str(compute_dtype),
+                     n_out_s=n_out_s, rows_per_sample=rows_per_sample,
+                     nbatch=B if batched else 1)
 
     cc_flat = jnp.stack([m.reshape(n_out).astype(compute_dtype)
                          for m in mapped], axis=-1)
-    inside_flat = None if inside is None else inside.reshape(n_out)
-    if batched:
-        row_off = (jax.lax.broadcasted_iota(jnp.int32, (B, n_out_s), 0)
-                   * rows_per_sample).reshape(n_out)
-    else:
-        row_off = None
-
-    def run_chunk(cc_c, ins_c, off_c):
-        return _resample_chunk(table2, cc_c, ins_c, off_c, **kwargs)
-
-    if n_out <= _CHUNK_ROWS:
-        acc = run_chunk(cc_flat, inside_flat, row_off)
-    else:
-        n_chunks = -(-n_out // _CHUNK_ROWS)
-        n_padded = n_chunks * _CHUNK_ROWS
-        extra = n_padded - n_out
-
-        def prep(a, width=None):
-            if a is None:
-                return None
-            pad_spec = ((0, extra), (0, 0)) if a.ndim == 2 else ((0, extra),)
-            a = jnp.pad(a, pad_spec)
-            return a.reshape(n_chunks, _CHUNK_ROWS,
-                             *a.shape[1:])
-
-        parts = [prep(cc_flat), prep(inside_flat), prep(row_off)]
-        present = [p is not None for p in parts]
-
-        def body(args):
-            it = iter(args)
-            vals = [next(it) if ok else None for ok in present]
-            return run_chunk(*vals)
-
-        acc = jax.lax.map(body, tuple(p for p in parts if p is not None))
-        acc = acc.reshape(n_padded, C)[:n_out]
+    acc = _gather_stage(table2, cc_flat, p)
+    if inside is not None:
+        # constant-mode mask applied outside the custom op so its cotangent
+        # flows as a plain elementwise multiply
+        mask = inside.reshape(n_out)[:, None]
+        acc = jnp.where(mask, acc, jnp.zeros((), acc.dtype))
     if batched:
         return acc.reshape(B, *out_spatial, C)
     return acc.reshape(*out_spatial, C)
