@@ -16,8 +16,6 @@ torch.py:29).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

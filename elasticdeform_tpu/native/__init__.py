@@ -22,7 +22,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import sysconfig
 import tempfile
 import threading
 from pathlib import Path

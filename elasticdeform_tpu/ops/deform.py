@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax
@@ -34,9 +34,9 @@ import jax.numpy as jnp
 
 from elasticdeform_tpu.ops import modes as _modes
 from elasticdeform_tpu.ops.displacement import dense_displacement
-from elasticdeform_tpu.ops.prefilter import spline_filter1d, spline_filter1d_transpose
+from elasticdeform_tpu.ops.prefilter import spline_filter1d
 from elasticdeform_tpu.ops.resample import (
-    resample_linear, cast_output, mirror_pad, pad_amount,
+    resample_linear, cast_output, pad_amount,
 )
 from elasticdeform_tpu.ops.windows import (
     window_plan, window_pad_indices, resample_windows,

@@ -40,7 +40,7 @@ from __future__ import annotations
 import functools
 import math
 import os
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import numpy as np
 import jax

@@ -9,10 +9,9 @@ deformation runs on-device, overlapped with the transfer of the next batch.
 
 from __future__ import annotations
 
-import collections
 import queue
 import threading
-from typing import Iterable, Iterator, Optional
+from typing import Iterable, Iterator
 
 import jax
 import numpy as np
