@@ -54,7 +54,11 @@ def _build_library() -> Path:
     cxx = os.environ.get("CXX", "g++")
     cmd = [cxx, "-O3", "-std=c++17", "-shared", "-fPIC",
            "-o", str(out), str(_SRC)]
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd + ["-fopenmp"], check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        # toolchains without OpenMP: build single-threaded
+        subprocess.run(cmd, check=True, capture_output=True)
     return out
 
 

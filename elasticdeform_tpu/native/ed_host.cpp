@@ -28,6 +28,10 @@
 #include <cstring>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 namespace {
 
 constexpr int kMaxDim = 6;
@@ -312,9 +316,24 @@ int ed_deform_grid(int gradient,
   }
 
   const int taps = order + 1;
-  int64_t coord[kMaxDim] = {0};
 
+  // Forward is per-voxel independent -> parallel over output voxels.
+  // The adjoint scatter-adds into shared memory and stays single-threaded
+  // (race-free by serialization, like the reference's GIL-released loop).
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (!gradient)
+#endif
   for (int64_t v = 0; v < total_out; ++v) {
+    // decompose the flat voxel index (replaces odometer state so the loop
+    // body is self-contained for parallel execution)
+    int64_t coord[kMaxDim];
+    {
+      int64_t rem = v;
+      for (int h = nd - 1; h >= 0; --h) {
+        coord[h] = rem % O[h];
+        rem /= O[h];
+      }
+    }
     // dense displacement at this voxel: separable 4^nd accumulation
     double displ[kMaxDim];
     for (int h = 0; h < nd; ++h) displ[h] = 0.0;
@@ -400,10 +419,6 @@ int ed_deform_grid(int gradient,
       }
     }
 
-    for (int h = nd - 1; h >= 0; --h) {
-      if (++coord[h] < O[h]) break;
-      coord[h] = 0;
-    }
   }
   return 0;
 }
