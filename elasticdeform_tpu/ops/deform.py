@@ -18,8 +18,10 @@ Pipeline (forward), matching reference call stack §3.2 of SURVEY.md:
      dtype cast (deform.c:906-924).
 
 The adjoint (reference gradient path, deform.c:926-997 + the transpose
-prefilter deform.c:1049-1168) is derived with ``jax.linear_transpose`` of
-the linear part of the same pipeline, guaranteeing exact consistency.
+prefilter deform.c:1049-1168) is obtained by reverse-differentiating the
+linear part of the same pipeline — the window table build and gather stage
+carry hand-written custom adjoints (ops/windows.py), everything else
+transposes through XLA — guaranteeing exact consistency with the forward.
 """
 
 from __future__ import annotations

@@ -26,9 +26,12 @@ row gather per output voxel:
    output is ``sum(row * wrow)`` — all fused elementwise work.
 
 The computation is tap-for-tap identical to the reference semantics
-(reference deform.c:818-901); only the memory layout differs. The adjoint
-(via ``jax.linear_transpose``) turns the row gather into a row scatter-add
-and the table build into its fold — still coarse-grained memory ops.
+(reference deform.c:818-901); only the memory layout differs. Both heavy
+stages carry hand-written adjoints (``custom_vjp``): the table build's
+backward is a per-axis matmul fold, and the gather stage's backward is a
+sample-grouped, voxel-chunked row scatter-add — XLA's own transposes of
+these programs were measured 3-20x slower (transposed grouped convs,
+scan-carried table accumulation).
 
 For orders/naxis where 128 lanes cannot cover the full stencil
 (order >= 4 in 3D, naxis >= 4), leading axes fall back to a short static

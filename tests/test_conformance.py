@@ -207,3 +207,23 @@ def test_bool_passthrough():
     displacement = RNG.standard_normal((2, 3, 3)) * 5
     out = ed.deform_grid(X, displacement, order=0)
     assert out.dtype == np.bool_
+
+
+def test_different_strides():
+    # non-C-contiguous inputs (reference tests/test_deform_grid.py:185-199)
+    X = RNG.random((60, 45))
+    Y = np.array(X, order='F')
+    assert X.strides != Y.strides
+    displacement = RNG.standard_normal((2, 3, 3)) * 25
+    res_X, res_Y = ed.deform_grid([X, Y], displacement, prefilter=False)
+    ref = deform_grid_oracle(X, displacement, prefilter=False)
+    np.testing.assert_allclose(ref, res_X, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(res_X, res_Y, rtol=0, atol=0)
+
+
+def test_prefilter_false():
+    X = RNG.random((40, 35))
+    displacement = RNG.standard_normal((2, 3, 3)) * 10
+    res = ed.deform_grid(X, displacement, order=3, prefilter=False)
+    ref = deform_grid_oracle(X, displacement, order=3, prefilter=False)
+    np.testing.assert_allclose(ref, res, rtol=1e-5, atol=1e-8)
