@@ -6,12 +6,14 @@ from elasticdeform_tpu.parallel.sharding import (
     sharded_deform,
     make_augmentation_mesh,
 )
+from elasticdeform_tpu.parallel.spatial import sharded_deform_spatial
 from elasticdeform_tpu.parallel.pipeline import AugmentationPipeline
 
 __all__ = [
     "batched_deform",
     "batched_random_deform",
     "sharded_deform",
+    "sharded_deform_spatial",
     "make_augmentation_mesh",
     "AugmentationPipeline",
 ]
