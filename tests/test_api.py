@@ -156,3 +156,19 @@ def test_deform_random_jax():
     X = RNG.random((16, 16))
     out = ed.deform_random(key, X, sigma=5.0, points=3, order=1)
     assert out.shape == X.shape
+
+
+def test_drop_in_alias():
+    # the public surface matches the reference exactly, so aliasing the
+    # import is a drop-in replacement (reference elasticdeform/__init__.py)
+    import elasticdeform_tpu as elasticdeform
+    X = RNG.random((30, 30))
+    d = RNG.standard_normal((2, 3, 3)) * 5
+    Y = elasticdeform.deform_grid(X, d, order=3, mode='mirror')
+    dX = elasticdeform.deform_grid_gradient(RNG.random(Y.shape), d,
+                                            order=3, mode='mirror')
+    assert Y.shape == X.shape and dX.shape == X.shape
+    import elasticdeform_tpu.torch as _t
+    assert hasattr(_t, "deform_grid")
+    import elasticdeform_tpu.tf as _f
+    assert hasattr(_f, "deform_grid")
