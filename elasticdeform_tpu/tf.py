@@ -47,8 +47,10 @@ def deform_grid(X, displacement, *args, **kwargs):
             for dx, shape in zip(dxs, x_shapes):
                 dx.set_shape(shape)
             # displacement gradient is intentionally undefined
-            # (reference tf.py:47)
-            return [np.nan * _tf.cast(displacement, _tf.float64)] + list(dxs)
+            # (reference tf.py:47); keep the displacement's own dtype
+            nan = _tf.constant(float("nan"),
+                               dtype=_tf.as_dtype(displacement.dtype))
+            return [nan * _tf.cast(displacement, nan.dtype)] + list(dxs)
 
         return ys, _grad
 
