@@ -68,7 +68,7 @@ def sharded_deform(mesh: Mesh, X, displacements, *, axis_name: str = "batch",
     shard; no collectives are needed (the op is voxel-independent). The
     batch size must be divisible by the mesh axis size.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def local_fn(x, d):
         return batched_deform(x, d, **kwargs)

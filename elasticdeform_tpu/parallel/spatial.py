@@ -195,7 +195,7 @@ def sharded_deform_spatial(mesh: Mesh, x, displacement, *,
                               jnp.asarray(cval, cdt))
         return y
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     spec_in = P(axis_name, *([None] * (naxis - 1)))
     fn = shard_map(local_fn, mesh=mesh,
                    in_specs=(spec_in, P(*([None] * (naxis + 1)))),

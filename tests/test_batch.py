@@ -133,3 +133,34 @@ def test_entry_points():
     out = jax.jit(fn)(*args)
     assert out.shape == args[0].shape
     mod.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_driver_env():
+    """Run the dryrun in a subprocess WITHOUT conftest's platform pinning.
+
+    Mirrors the driver environment: JAX_PLATFORMS unset, only
+    --xla_force_host_platform_device_count=8 — the default backend may be
+    a (possibly single-device, possibly broken) TPU, and the entry point
+    must still select a usable 8-device mesh on its own.
+    """
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import importlib.util; "
+         "spec = importlib.util.spec_from_file_location("
+         "'__graft_entry__', '__graft_entry__.py'); "
+         "mod = importlib.util.module_from_spec(spec); "
+         "spec.loader.exec_module(mod); "
+         "mod.dryrun_multichip(8); print('DRYRUN_OK')"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "DRYRUN_OK" in proc.stdout
