@@ -1,13 +1,21 @@
-"""Benchmark: batched 3D order-3 elastic deformation, forward + gradient.
+"""Benchmarks for the five BASELINE.json configs on one TPU chip.
 
-Prints ONE JSON line:
+Default run prints ONE JSON line (the driver contract) — the headline
+config 5 metric:
+
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The headline config is BASELINE.json config 5: a batch of 64 3D volumes
-(64^3), per-sample random control grids, order-3 mirror deformation, forward
-+ input-gradient pair, jit-compiled on one chip. ``vs_baseline`` compares
-against the reference C implementation measured on this machine's CPU
-(BASELINE_MEASURED.json: 0.4568 Mvox/s for the same fwd+grad pair).
+``python bench.py --all`` measures all five configs, prints one JSON line
+per config (headline last), and writes ``bench_results.json`` — the README
+performance table is regenerated from that file.
+
+``vs_baseline`` compares against the reference C implementation measured
+on this machine's CPU (BASELINE_MEASURED.json; the reference publishes no
+numbers, see BASELINE.md).
+
+Timing notes: ``block_until_ready`` does not synchronize over remote TPU
+tunnels, so every timed region is synchronized by fetching a scalar
+reduction of the results (the reduction depends on every output element).
 """
 
 import json
@@ -19,19 +27,129 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+ITERS = int(os.environ.get("BENCH_ITERS", "10"))
 
-def main():
+# reference C on this machine's CPU (BASELINE_MEASURED.json)
+BASELINES = {
+    "c1": 4.039,     # 2D 200x300 order-3 mirror forward, Mvox/s
+    "c2": 4.0418,    # multi-input mixed order forward, Mvox/s
+    "c3": 0.8112,    # 3D 128^3 crop-64^3 order-3 forward, Mvox/s (output vox)
+    "c4": 0.4913,    # 3D 64^3 order-3 fwd+grad train step, Mvox/s
+    "c5": 0.4568,    # batched 64x 64^3 order-3 fwd+grad, Mvox/s
+}
+
+RNG = np.random.default_rng(0)
+
+
+def _timeit(step, sync):
+    """Median-free simple timing: warmup (compile), then ITERS timed calls
+    synchronized once at the end by fetching scalars."""
+    sync(step())
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = step()
+    sync(out)
+    return (time.perf_counter() - t0) / ITERS
+
+
+def _sync_scalars(out):
+    for s in (out if isinstance(out, tuple) else (out,)):
+        float(s)
+
+
+def bench_c1():
+    """README example: 2D 200x300, random 3x3 grid, order-3, mirror."""
+    import elasticdeform_tpu as ed
+
+    x = jnp.asarray(RNG.random((200, 300), dtype=np.float32))
+    d = jnp.asarray(RNG.standard_normal((2, 3, 3)).astype(np.float32) * 25)
+
+    @jax.jit
+    def fwd(x, d):
+        return jnp.sum(ed.deform(x, d, order=3, mode='mirror'))
+
+    dt = _timeit(lambda: fwd(x, d), _sync_scalars)
+    mvox = x.size / dt / 1e6
+    return {"metric": "2D 200x300 order-3 deform forward throughput",
+            "value": round(mvox, 2), "unit": "Mvox/s/chip",
+            "vs_baseline": round(mvox / BASELINES["c1"], 2)}
+
+
+def bench_c2():
+    """Multi-input [RGB image, segmentation], mixed order=[3,0], axis."""
+    import elasticdeform_tpu as ed
+
+    img = jnp.asarray(RNG.random((3, 200, 300), dtype=np.float32))
+    seg = jnp.asarray(RNG.random((200, 300), dtype=np.float32))
+    d = jnp.asarray(RNG.standard_normal((2, 3, 3)).astype(np.float32) * 25)
+
+    @jax.jit
+    def fwd(img, seg, d):
+        a, b = ed.deform([img, seg], d, order=[3, 0],
+                         axis=[(1, 2), (0, 1)], mode='mirror')
+        return jnp.sum(a), jnp.sum(b)
+
+    dt = _timeit(lambda: fwd(img, seg, d), _sync_scalars)
+    mvox = (img.size + seg.size) / dt / 1e6
+    return {"metric": "multi-input mixed-order deform forward throughput",
+            "value": round(mvox, 2), "unit": "Mvox/s/chip",
+            "vs_baseline": round(mvox / BASELINES["c2"], 2)}
+
+
+def bench_c3():
+    """3D 128^3 volume, crop to the central 64^3 window, order-3."""
+    import elasticdeform_tpu as ed
+
+    x = jnp.asarray(RNG.random((128, 128, 128), dtype=np.float32))
+    d = jnp.asarray(RNG.standard_normal((3, 3, 3, 3)).astype(np.float32) * 15)
+    crop = (slice(32, 96),) * 3
+
+    @jax.jit
+    def fwd(x, d):
+        return jnp.sum(ed.deform(x, d, order=3, mode='mirror', crop=crop))
+
+    dt = _timeit(lambda: fwd(x, d), _sync_scalars)
+    mvox = 64 ** 3 / dt / 1e6  # output voxels, like the CPU baseline
+    return {"metric": "3D 128^3 crop-64^3 order-3 deform forward throughput",
+            "value": round(mvox, 2), "unit": "Mvox/s/chip",
+            "vs_baseline": round(mvox / BASELINES["c3"], 2)}
+
+
+def bench_c4():
+    """Differentiable layer: fwd+grad (custom adjoints) in a jitted step."""
+    import elasticdeform_tpu as ed
+
+    x = jnp.asarray(RNG.random((64, 64, 64), dtype=np.float32))
+    d = jnp.asarray(RNG.standard_normal((3, 3, 3, 3)).astype(np.float32) * 15)
+    target = jnp.asarray(RNG.random((64, 64, 64), dtype=np.float32))
+
+    @jax.jit
+    def train_step(x, d, target):
+        def loss_fn(x):
+            y = ed.deform(x, d, order=3, mode='mirror')
+            return jnp.mean((y - target) ** 2)
+        loss, gx = jax.value_and_grad(loss_fn)(x)
+        return loss, jnp.sum(gx)
+
+    dt = _timeit(lambda: train_step(x, d, target), _sync_scalars)
+    mvox = x.size / dt / 1e6
+    return {"metric": "3D 64^3 order-3 deform fwd+grad train-step throughput",
+            "value": round(mvox, 2), "unit": "Mvox/s/chip",
+            "vs_baseline": round(mvox / BASELINES["c4"], 2)}
+
+
+def bench_c5():
+    """Headline: batched 64x 64^3, per-sample grids, fwd+grad pair."""
     from elasticdeform_tpu.parallel.sharding import batched_deform
 
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     size = int(os.environ.get("BENCH_SIZE", "64"))
     points = 3
 
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.random((batch, size, size, size), dtype=np.float32))
-    d = jnp.asarray(rng.standard_normal(
+    x = jnp.asarray(RNG.random((batch, size, size, size), dtype=np.float32))
+    d = jnp.asarray(RNG.standard_normal(
         (batch, 3, points, points, points)).astype(np.float32) * 15)
-    gy = jnp.asarray(rng.random((batch, size, size, size), dtype=np.float32))
+    gy = jnp.asarray(RNG.random((batch, size, size, size), dtype=np.float32))
 
     def fwd(x, d):
         return batched_deform(x, d, order=3, mode='mirror')
@@ -40,35 +158,65 @@ def main():
     def fwd_grad(x, d, gy):
         y, vjp = jax.vjp(lambda x_: fwd(x_, d), x)
         (gx,) = vjp(gy)
-        # reduce to scalars: fetching them forces real completion even on
-        # backends where block_until_ready is effectively async (remote
-        # TPU tunnels) — the reductions depend on every output element
         return jnp.sum(y), jnp.sum(gx)
 
-    # compile + warmup (fetch to synchronize)
-    sy, sg = fwd_grad(x, d, gy)
-    float(sy); float(sg)
+    dt = _timeit(lambda: fwd_grad(x, d, gy), _sync_scalars)
+    mvox = batch * size ** 3 / dt / 1e6
+    return {"metric": "batched 3D order-3 deform fwd+grad throughput",
+            "value": round(mvox, 2), "unit": "Mvox/s/chip",
+            "vs_baseline": round(mvox / BASELINES["c5"], 2)}
 
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        sy, sg = fwd_grad(x, d, gy)
-    # device executes in-order: fetching the last iteration's scalars
-    # synchronizes the whole timed sequence with a single round-trip
-    float(sy); float(sg)
-    dt = (time.perf_counter() - t0) / iters
 
-    voxels = batch * size ** 3
-    mvox_per_s = voxels / dt / 1e6
+CONFIGS = {"c1": bench_c1, "c2": bench_c2, "c3": bench_c3,
+           "c4": bench_c4, "c5": bench_c5}
 
-    baseline = 0.4568  # reference C fwd+grad Mvox/s (BASELINE_MEASURED.json)
-    print(json.dumps({
-        "metric": "batched 3D order-3 deform fwd+grad throughput",
-        "value": round(mvox_per_s, 2),
-        "unit": "Mvox/s/chip",
-        "vs_baseline": round(mvox_per_s / baseline, 2),
-    }))
+
+DESCRIPTIONS = {
+    "c1": ("2D 200x300 forward (README example)", "c1_2d_200x300"),
+    "c2": ("multi-input [RGB, seg] mixed order fwd", "c2_multi_input"),
+    "c3": ("3D 128^3 crop-64^3 forward", "c3_3d_128cube_crop64"),
+    "c4": ("3D 64^3 fwd+grad train step", "c4_3d_64cube"),
+    "c5": ("batch 64x 64^3 fwd+grad (headline)", "c5_batched"),
+}
+
+
+def print_readme_table():
+    """Emit the README performance table from bench_results.json."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_results.json")) as f:
+        results = json.load(f)
+    print("| Config (order-3, mirror) | reference C (CPU) "
+          "| this library (1x v5e) | speedup |")
+    print("|---|---|---|---|")
+    for name, (desc, _) in DESCRIPTIONS.items():
+        if name not in results:
+            continue
+        r = results[name]
+        print(f"| {desc} | {BASELINES[name]:.2f} Mvox/s "
+              f"| {r['value']:.2f} Mvox/s | {r['vs_baseline']:.1f}x |")
+
+
+def main(argv):
+    if "--readme" in argv:
+        print_readme_table()
+    elif "--all" in argv:
+        names = [a for a in argv if a in CONFIGS] or list(CONFIGS)
+        results = {}
+        for name in names:
+            results[name] = CONFIGS[name]()
+            print(json.dumps({"config": name, **results[name]}),
+                  flush=True)
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_results.json"), "w") as f:
+            json.dump(results, f, indent=2)
+    elif any(a in CONFIGS for a in argv):
+        for name in (a for a in argv if a in CONFIGS):
+            print(json.dumps({"config": name, **CONFIGS[name]()}),
+                  flush=True)
+    else:
+        # driver contract: exactly ONE JSON line, the headline metric
+        print(json.dumps(bench_c5()))
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1:])

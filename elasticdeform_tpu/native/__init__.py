@@ -145,6 +145,19 @@ def _cast_output_np(t: np.ndarray, dtype) -> np.ndarray:
     return np.trunc(np.clip(r, info.min, info.max)).astype(dtype)
 
 
+def _cast_int_c_np(t: np.ndarray, dtype) -> np.ndarray:
+    """Numpy twin of ops.resample.cast_int_c: C truncating/wrapping cast
+    of floats into an integer dtype, kept as float64 (the reference's
+    per-axis prefilter writeback, deform_grid.py:157-161)."""
+    dtype = np.dtype(dtype)
+    if dtype.kind == "b":
+        dtype = np.dtype(np.uint8)
+    info = np.iinfo(dtype)
+    tr = np.trunc(t)
+    span = 2.0 ** info.bits
+    return tr - np.floor((tr - float(info.min)) / span) * span
+
+
 def _prep_spatial(x: np.ndarray, axis):
     """Transpose to (deformed..., channels...) and flatten channels."""
     ndim = x.ndim
@@ -201,7 +214,7 @@ def deform_grid(X, displacement, order=3, mode='constant', cval=0.0,
             for d in range(len(ax)):
                 xt = spline_filter1d(xt, o, d)
                 if int_like:
-                    xt = _cast_output_np(xt, x.dtype).astype(np.float64)
+                    xt = _cast_int_c_np(xt, x.dtype)
         xt = np.ascontiguousarray(xt)
         naxis = len(ax)
         S = np.asarray(xt.shape[:naxis], dtype=np.int64)

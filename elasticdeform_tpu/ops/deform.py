@@ -36,12 +36,15 @@ import jax.numpy as jnp
 
 from elasticdeform_tpu.ops import modes as _modes
 from elasticdeform_tpu.ops.displacement import dense_displacement
-from elasticdeform_tpu.ops.prefilter import spline_filter1d
+from elasticdeform_tpu.ops.prefilter import (
+    spline_filter1d, spline_filter1d_transpose,
+)
 from elasticdeform_tpu.ops.resample import (
-    resample_linear, cast_output, pad_amount,
+    resample_linear, cast_output, cast_int_c, pad_amount,
 )
 from elasticdeform_tpu.ops.windows import (
     window_plan, window_pad_indices, resample_windows,
+    resample_windows_transpose,
 )
 
 _DISPLACEMENT_ORDER = 3  # reference deform.c:375
@@ -146,9 +149,11 @@ def _prefilter_input(xt, ispec: InputSpec, spec: DeformSpec, cdt,
     """Per-axis input prefilter (reference deform_grid.py:154-164).
 
     The reference writes each per-axis filter result into an array of the
-    *input* dtype (``numpy.zeros_like``), so integer inputs are round-cast
-    after every axis; ``exact_int`` replicates that (forward path). The
-    linear/gradient path skips it to stay linear.
+    *input* dtype (``numpy.zeros_like``), so integer inputs are C-cast
+    (truncate toward zero + wrap modulo 2**bits, see
+    :func:`~elasticdeform_tpu.ops.resample.cast_int_c`) after every axis;
+    ``exact_int`` replicates that (forward path). The linear/gradient path
+    skips it to stay linear.
     """
     naxis = len(ispec.axis)
     xf = xt.astype(cdt)
@@ -157,7 +162,7 @@ def _prefilter_input(xt, ispec: InputSpec, spec: DeformSpec, cdt,
         for d in range(naxis):
             xf = spline_filter1d(xf, ispec.order, d)
             if exact_int and int_like:
-                xf = cast_output(xf, ispec.dtype).astype(cdt)
+                xf = cast_int_c(xf, ispec.dtype)
     return xf
 
 
@@ -214,7 +219,7 @@ def _prefilter_input_batched(xt, ispec: InputSpec, spec: DeformSpec, cdt,
         for d in range(naxis):
             xf = spline_filter1d(xf, ispec.order, d + 1)
             if exact_int and int_like:
-                xf = cast_output(xf, ispec.dtype).astype(cdt)
+                xf = cast_int_c(xf, ispec.dtype)
     return xf
 
 
@@ -324,15 +329,75 @@ def deform_apply_batched(xs, displacement, affine, spec: DeformSpec):
     return ys
 
 
+def _window_unpad_transpose(d_xp, unpadded_spatial, pad, widths, n_lead):
+    """Adjoint of the per-axis window padding: fold the padded-volume
+    cotangent back onto the original extent (a static segment-sum per axis,
+    reversing the ``jnp.take`` of :func:`window_pad_indices`)."""
+    naxis = len(unpadded_spatial)
+    out = d_xp
+    for h in range(naxis - 1, -1, -1):
+        n_h = unpadded_spatial[h]
+        extra = widths[h - n_lead] if h >= n_lead else 0
+        idx = jnp.asarray(window_pad_indices(n_h, pad, extra))
+        moved = jnp.moveaxis(out, h, 0)
+        summed = jax.ops.segment_sum(moved, idx, num_segments=n_h)
+        out = jnp.moveaxis(summed, 0, h)
+    return out
+
+
+def _deform_one_linear_transpose(dyt, cc, ispec: InputSpec, spec: DeformSpec,
+                                 cdt):
+    """Exact transpose of :func:`_deform_one_linear`'s linear map.
+
+    Hand-written backward-only pipeline (reference deform_grid.py:274-286 is
+    backward-only too): scatter the output cotangent into the window table,
+    fold it onto the padded volume, un-pad, and run the transpose prefilter
+    in reverse axis order (deform.c:953-995 + deform.c:1049-1168). Unlike
+    ``jax.vjp`` on a zeros primal, no forward pass is executed.
+    """
+    spatial = tuple(ispec.shape[d] for d in ispec.axis)
+    naxis = len(spatial)
+    mapped, inside = _map_input_coordinates(cc, ispec, spec)
+    plan = window_plan(naxis, ispec.order) \
+        if spec.strategy in ("auto", "windows") else None
+    if plan is None:
+        # the gather path has no custom_vjp inside, so linear_transpose
+        # works and XLA turns the gathers into scatter-adds
+        _, _, chan_shape = _split_axes(ispec)
+        nchan = max(math.prod(chan_shape), 1)
+        xt_struct = jax.ShapeDtypeStruct((*spatial, nchan), jnp.dtype(cdt))
+
+        def lin(xt):
+            xf = _prefilter_input(xt, ispec, spec, cdt, exact_int=False)
+            return resample_linear(xf, mapped, inside, ispec.order,
+                                   spec.out_spatial, cdt)
+
+        (dxt,) = jax.linear_transpose(lin, xt_struct)(dyt)
+        return dxt
+
+    n_lead, widths, strides = plan
+    pad = pad_amount(ispec.order)
+    padded_spatial = tuple(
+        n + 2 * pad + (widths[h - n_lead] if h >= n_lead else 0)
+        for h, n in enumerate(spatial))
+    d_xp = resample_windows_transpose(dyt, mapped, inside, ispec.order,
+                                      spec.out_spatial, cdt, pad,
+                                      padded_spatial)
+    d_xf = _window_unpad_transpose(d_xp, spatial, pad, widths, n_lead)
+    if spec.prefilter and ispec.order > 1:
+        for d in range(naxis - 1, -1, -1):
+            d_xf = spline_filter1d_transpose(d_xf, ispec.order, d)
+    return d_xf
+
+
 def deform_gradient_apply(dys, displacement, affine, spec: DeformSpec):
     """Exact adjoint: gradients w.r.t. the (uncropped) inputs.
 
     Equivalent to the reference's ``deform_grid_grad`` + transpose prefilter
     pipeline (reference deform_grid.py:274-286): for each input the linear
     forward map (prefilter ∘ resample, without cval constant) is transposed
-    with ``jax.linear_transpose`` — XLA turns the gathers into scatter-adds
-    (deform.c:953-995) and the prefilter matmuls into their transposes
-    (deform.c:1049-1168).
+    by the hand-written backward-only pipeline
+    (:func:`_deform_one_linear_transpose`) — no forward pass is paid.
     """
     cdt = spec.compute_dtype
     disp_f = _prefilter_displacement(displacement, cdt)
@@ -343,24 +408,10 @@ def deform_gradient_apply(dys, displacement, affine, spec: DeformSpec):
     dxs = []
     for dy, ispec in zip(dys, spec.inputs):
         spatial = tuple(ispec.shape[d] for d in ispec.axis)
-        _, _, chan_shape = _split_axes(ispec)
-        nchan = max(math.prod(chan_shape), 1)
-        xt_struct = jax.ShapeDtypeStruct((*spatial, nchan), jnp.dtype(cdt))
-
-        def linear_fn(xt, _cc=cc, _ispec=ispec):
-            y, _ = _deform_one_linear(xt, _cc, _ispec, spec, cdt,
-                                      exact_int=False)
-            return y
-
         # bring the incoming gradient into (*out_spatial, C) layout
         out_ispec = dataclasses.replace(ispec, shape=ispec.out_shape)
         dyt = _to_spatial_channels(jnp.asarray(dy), out_ispec).astype(cdt)
-        # the map is linear in xt, so the vjp IS the exact transpose
-        # (jax.linear_transpose currently fails through the chunked
-        # lax.map of the windows fast path; vjp costs one extra forward)
-        _, vjp_fn = jax.vjp(linear_fn, jnp.zeros(xt_struct.shape,
-                                                 xt_struct.dtype))
-        (dxt,) = vjp_fn(dyt)
+        dxt = _deform_one_linear_transpose(dyt, cc, ispec, spec, cdt)
         dx = cast_output(dxt, ispec.dtype)
         # back to the input's original axis order, at the uncropped shape
         in_ispec = dataclasses.replace(ispec, out_shape=ispec.shape)

@@ -144,6 +144,29 @@ def resample_linear(x, mapped, inside, order: int, out_spatial, compute_dtype):
     return out
 
 
+def cast_int_c(t, dtype):
+    """Emulate a C truncating/wrapping cast of floats into an integer dtype,
+    returning the result as the (integral-valued) float it came in as.
+
+    The reference's per-axis input prefilter writes scipy's float result
+    into an array of the *input* dtype (reference deform_grid.py:157-161,
+    ``output=x_f`` with ``x_f = numpy.zeros_like(x)``); scipy's line-buffer
+    writeback is a plain C cast (reference from_nd_image.c:434-487
+    ``CASE_COPY_LINE_TO_DATA``): truncate toward zero, then wrap modulo
+    2**bits (e.g. -12.69 -> 244 in uint8). ``npy_bool`` is an unsigned
+    char, so bool follows the uint8 rule and the raw byte value is what
+    later tap reads observe.
+    """
+    dtype = np.dtype(dtype)
+    if dtype.kind == "b":
+        dtype = np.dtype(np.uint8)
+    info = np.iinfo(dtype)
+    tr = jnp.trunc(t)
+    span = float(2.0 ** info.bits)
+    lo = float(info.min)
+    return tr - jnp.floor((tr - lo) / span) * span
+
+
 def cast_output(t, dtype):
     """Cast the float accumulator to the output dtype with the reference's
     rounding/clamping rules (reference deform.c:287-306):

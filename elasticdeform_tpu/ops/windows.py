@@ -171,16 +171,15 @@ def _table_op_fwd(xp, widths, strides, n_lead, batched, spatial, channels,
     return table2, None
 
 
-def _table_op_bwd(widths, strides, n_lead, batched, spatial, channels,
-                  nbatch, _res, ct):
+def _fold_table_grouped(ct, spatial, widths, strides, n_lead, channels,
+                        nbatch, batched):
     # The fold's intermediates expose the window dims (e.g. (4,4,8)) as
     # minor axes, which the (8,128) tile layout pads ~10x — at batch 64
     # that is a 21 GB reshape. Process the batch in groups to bound it.
     group = 4
     if not batched or nbatch <= group:
-        dxp = _fold_table(ct, spatial, widths, strides, n_lead, channels,
-                          nbatch, batched)
-        return (dxp,)
+        return _fold_table(ct, spatial, widths, strides, n_lead, channels,
+                           nbatch, batched)
     rows = ct.shape[0] // nbatch
     parts = []
     for b0 in range(0, nbatch, group):
@@ -188,7 +187,13 @@ def _table_op_bwd(widths, strides, n_lead, batched, spatial, channels,
         ct_g = jax.lax.slice_in_dim(ct, b0 * rows, (b0 + g) * rows, axis=0)
         parts.append(_fold_table(ct_g, spatial, widths, strides, n_lead,
                                  channels, g, True))
-    return (jnp.concatenate(parts, axis=0),)
+    return jnp.concatenate(parts, axis=0)
+
+
+def _table_op_bwd(widths, strides, n_lead, batched, spatial, channels,
+                  nbatch, _res, ct):
+    return (_fold_table_grouped(ct, spatial, widths, strides, n_lead,
+                                channels, nbatch, batched),)
 
 
 _table_op.defvjp(_table_op_fwd, _table_op_bwd)
@@ -424,10 +429,14 @@ def _gather_stage_fwd(table2, cc_flat, p):
     return _stage_primal(table2, cc_flat, p), (table2, cc_flat)
 
 
-def _gather_stage_bwd(p, res, g):
-    table2, cc_flat = res
-    n_out = cc_flat.shape[0]
-    naxis = cc_flat.shape[-1]
+def _dtable_from_g(g, cc_flat, p: _StageParams):
+    """Transpose of the gather stage w.r.t. the table: scatter ``g`` rows.
+
+    Per-tap scatter of ``g * lane weights``, sample-grouped (disjoint rows,
+    no carried accumulation) and voxel-chunked; the in-place at[].add chain
+    has no scan carry, so XLA aliases the destination buffer across steps.
+    Reference semantics: the scatter-add gradient loop deform.c:953-995.
+    """
     B = max(p.nbatch, 1)
     n_s = p.n_out_s
     bytes_per_sample = n_s * p.channels * p.lane_count * 4
@@ -440,7 +449,6 @@ def _gather_stage_bwd(p, res, g):
     vchunk = 4 * _CHUNK_ROWS
 
     d_tables = []
-    d_ccs = []
     for b0 in range(0, B, group):
         gsz = min(group, B - b0)
         sl = slice(b0 * n_s, (b0 + gsz) * n_s)
@@ -448,9 +456,6 @@ def _gather_stage_bwd(p, res, g):
         g_g = g[sl]
         m_g = gsz * n_s
 
-        # --- d_table: per-tap scatter of g * lane weights, voxel-chunked;
-        # the in-place at[].add chain has no scan carry, so XLA aliases the
-        # destination buffer across steps ---
         dt = jnp.zeros((gsz * p.rows_per_sample,
                         p.channels * p.lane_count), p.compute_dtype)
         for v0 in range(0, m_g, vchunk):
@@ -471,26 +476,118 @@ def _gather_stage_bwd(p, res, g):
                 idx = row_base + tap_off if tap_off else row_base
                 dt = dt.at[idx].add(vals)
         d_tables.append(dt)
+    return d_tables[0] if len(d_tables) == 1 else \
+        jnp.concatenate(d_tables, axis=0)
 
-        # --- d_cc: forward-mode through the weight polynomials ---
-        # (dead-code-eliminated by XLA when the caller does not use it)
+
+def _gather_stage_bwd(p, res, g):
+    table2, cc_flat = res
+    naxis = cc_flat.shape[-1]
+    B = max(p.nbatch, 1)
+    n_s = p.n_out_s
+    bytes_per_sample = n_s * p.channels * p.lane_count * 4
+    group = max(1, min(B, _BWD_GROUP_BYTES // max(bytes_per_sample, 1)))
+
+    d_table = _dtable_from_g(g, cc_flat, p)
+
+    # --- d_cc: forward-mode through the weight polynomials ---
+    # (dead-code-eliminated by XLA when the caller does not use it)
+    d_ccs = []
+    for b0 in range(0, B, group):
+        gsz = min(group, B - b0)
+        sl = slice(b0 * n_s, (b0 + gsz) * n_s)
+        cc_g = cc_flat[sl]
+        g_g = g[sl]
+        # the group's row offsets restart at 0, so slice its table rows
+        # (sample b's rows start at b * rows_per_sample)
+        if B > 1:
+            table_g = jax.lax.slice_in_dim(
+                table2, b0 * p.rows_per_sample,
+                (b0 + gsz) * p.rows_per_sample, axis=0)
+        else:
+            table_g = table2
         dcc_cols = []
         group_p = p._replace(nbatch=gsz)
         for h in range(naxis):
             tangent = jnp.zeros_like(cc_g).at[:, h].set(1.0)
             _, t_out = jax.jvp(
-                lambda c: _stage_primal(table2, c, group_p), (cc_g,),
+                lambda c: _stage_primal(table_g, c, group_p), (cc_g,),
                 (tangent,))
             dcc_cols.append(jnp.sum(t_out * g_g, axis=-1))
         d_ccs.append(jnp.stack(dcc_cols, axis=-1))
 
-    d_table = d_tables[0] if len(d_tables) == 1 else \
-        jnp.concatenate(d_tables, axis=0)
     d_cc = d_ccs[0] if len(d_ccs) == 1 else jnp.concatenate(d_ccs, axis=0)
     return (d_table, d_cc)
 
 
 _gather_stage.defvjp(_gather_stage_fwd, _gather_stage_bwd)
+
+
+def _make_params(padded_spatial, channels, B, naxis, order, out_spatial,
+                 compute_dtype, pad):
+    """Static stage parameters for a given padded-input geometry."""
+    plan = window_plan(naxis, order)
+    assert plan is not None
+    n_lead, widths, strides = plan
+    nw = naxis - n_lead
+    counts = [(padded_spatial[n_lead + k] - widths[k]) // strides[k] + 1
+              for k in range(nw)]
+    table_dims = tuple(padded_spatial[:n_lead]) + tuple(counts)
+    lane_count = math.prod(widths)
+    rows_per_sample = math.prod(table_dims)
+    if B * rows_per_sample >= 2 ** 31:
+        raise ValueError(
+            f"window table has {B * rows_per_sample} rows, which overflows "
+            "the int32 row indices of the windows fast path; split the "
+            "batch or use strategy='gather'")
+
+    # row-major strides over the per-sample table_dims
+    tstrides = [0] * naxis
+    acc_s = 1
+    for h in range(naxis - 1, -1, -1):
+        tstrides[h] = acc_s
+        acc_s *= table_dims[h]
+
+    return _StageParams(order=order, widths=tuple(widths),
+                        strides=tuple(strides), n_lead=n_lead,
+                        tstrides=tuple(tstrides), pad=pad, channels=channels,
+                        lane_count=lane_count,
+                        compute_dtype=str(compute_dtype),
+                        n_out_s=math.prod(out_spatial),
+                        rows_per_sample=rows_per_sample, nbatch=B)
+
+
+def resample_windows_transpose(g, mapped, inside, order: int, out_spatial,
+                               compute_dtype, pad: int, padded_spatial,
+                               batched: bool = False):
+    """Exact transpose of :func:`resample_windows` w.r.t. the padded input.
+
+    Args are as in :func:`resample_windows` but with the output cotangent
+    ``g`` ((B,) *out_spatial, C) in place of the input, plus the static
+    ``padded_spatial`` shape of that input. Returns the input cotangent
+    ((B,) *padded_spatial, C).
+
+    This is the hand-written backward-only pipeline (the reference's
+    ``deform_grid_grad`` semantics, deform.c:953-995 scatter + the table
+    fold): scatter ``g`` into table-row cotangents, then overlap-add the
+    rows back onto the padded volume — without paying the dead forward that
+    ``jax.vjp`` on a zeros primal would execute.
+    """
+    naxis = len(mapped)
+    B = g.shape[0] if batched else 1
+    C = g.shape[-1]
+    n_out = B * math.prod(out_spatial)
+    p = _make_params(tuple(padded_spatial), C, B, naxis, order, out_spatial,
+                     compute_dtype, pad)
+    cc_flat = jnp.stack([m.reshape(n_out).astype(compute_dtype)
+                         for m in mapped], axis=-1)
+    g2 = g.reshape(n_out, C).astype(compute_dtype)
+    if inside is not None:
+        mask = inside.reshape(n_out)[:, None]
+        g2 = jnp.where(mask, g2, jnp.zeros((), g2.dtype))
+    dt = _dtable_from_g(g2, cc_flat, p)
+    return _fold_table_grouped(dt, tuple(padded_spatial), p.widths,
+                               p.strides, p.n_lead, C, B, batched)
 
 
 def resample_windows(x, mapped, inside, order: int, out_spatial,
@@ -517,27 +614,16 @@ def resample_windows(x, mapped, inside, order: int, out_spatial,
     n_lead, widths, strides = plan
 
     B = x.shape[0] if batched else 1
-    n_out_s = math.prod(out_spatial)
-    n_out = B * n_out_s
+    n_out = B * math.prod(out_spatial)
     C = x.shape[-1]
+    padded_spatial = x.shape[1:-1] if batched else x.shape[:-1]
+    # _make_params also guards the int32 row indices of _chunk_weights /
+    # _row_offsets against tables past 2**31 rows
+    p = _make_params(tuple(padded_spatial), C, B, naxis, order, out_spatial,
+                     compute_dtype, pad)
     table2, table_dims = _build_table(x, widths, strides, n_lead,
                                       batched=batched)
-    lane_count = math.prod(widths)
-    rows_per_sample = math.prod(table_dims)
-
-    # row-major strides over the per-sample table_dims
-    tstrides = [0] * naxis
-    acc_s = 1
-    for h in range(naxis - 1, -1, -1):
-        tstrides[h] = acc_s
-        acc_s *= table_dims[h]
-
-    p = _StageParams(order=order, widths=tuple(widths),
-                     strides=tuple(strides), n_lead=n_lead,
-                     tstrides=tuple(tstrides), pad=pad, channels=C,
-                     lane_count=lane_count, compute_dtype=str(compute_dtype),
-                     n_out_s=n_out_s, rows_per_sample=rows_per_sample,
-                     nbatch=B if batched else 1)
+    assert math.prod(table_dims) == p.rows_per_sample
 
     cc_flat = jnp.stack([m.reshape(n_out).astype(compute_dtype)
                          for m in mapped], axis=-1)

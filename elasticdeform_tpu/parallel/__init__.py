@@ -6,7 +6,10 @@ from elasticdeform_tpu.parallel.sharding import (
     sharded_deform,
     make_augmentation_mesh,
 )
-from elasticdeform_tpu.parallel.spatial import sharded_deform_spatial
+from elasticdeform_tpu.parallel.spatial import (
+    sharded_deform_spatial,
+    validate_max_displacement,
+)
 from elasticdeform_tpu.parallel.pipeline import AugmentationPipeline
 
 __all__ = [
@@ -14,6 +17,7 @@ __all__ = [
     "batched_random_deform",
     "sharded_deform",
     "sharded_deform_spatial",
+    "validate_max_displacement",
     "make_augmentation_mesh",
     "AugmentationPipeline",
 ]

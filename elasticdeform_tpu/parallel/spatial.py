@@ -14,17 +14,25 @@ not sit) on a single chip, shard it along its first deformed axis over a
   used everywhere else; coordinates are mapped in the global frame and
   shifted into slab-local indices.
 
+Boundary modes: all five are supported. The reference's tap folding is
+always mirror (reference deform.c:791-813), so mirror slabs at the global
+edges serve mirror/reflect/nearest/constant directly — their coordinate
+mapping keeps folded samples near the *same* edge. ``wrap`` (pre-SciPy-1.6
+period ``len-1``, reference deform.c:75-79) maps edge overshoot to the
+*opposite* end of the volume; those samples are served by two small seam
+strips (the volume's head and tail) that ride the existing ring exchange
+(rank n-1's right-neighbour halo IS the volume head, rank 0's left
+neighbour halo IS the tail) and are concatenated onto the slab so
+resampling stays a single window-gather pass.
+
 Correctness contract: the per-voxel displacement along the sharded axis
 must satisfy ``|displacement| <= max_displacement`` (a static bound that
-sizes the halo). Exceeding it silently clamps to the halo edge. When
-``prefilter`` is on, the halo is widened so the slab-local IIR prefilter
-agrees with the global one to ~1e-7 (the filter poles decay by |p| ~ 0.268
-per sample for cubic splines).
-
-Supported surface (round 1): single input, ``mode in ('mirror',
-'constant')`` (the pre-SciPy-1.6 tap folding is mirror, so mirror halos at
-the global edges reproduce the exact semantics), no crop/affine. Other
-modes/features: use batch-parallel :func:`sharded_deform` or a single chip.
+sizes the halo). Pass ``validate=True`` (eager calls) or run
+:func:`validate_max_displacement` to check the bound against the exact
+dense field; without validation, exceeding the bound clamps to the halo
+edge. When ``prefilter`` is on, the halo is widened per order so the
+slab-local IIR prefilter agrees with the global one to ~1e-9 of the
+coefficient scale.
 """
 
 from __future__ import annotations
@@ -34,14 +42,16 @@ import math
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from elasticdeform_tpu.ops import modes as _modes
 from elasticdeform_tpu.ops.bspline import filter_start, spline_weights
 from elasticdeform_tpu.ops.deform import (
     _prefilter_displacement, default_compute_dtype,
 )
-from elasticdeform_tpu.ops.displacement import displacement_matrix
+from elasticdeform_tpu.ops.displacement import (
+    dense_displacement, displacement_matrix,
+)
 from elasticdeform_tpu.ops.prefilter import spline_filter1d
 from elasticdeform_tpu.ops.resample import pad_amount, cast_output
 from elasticdeform_tpu.ops.windows import (
@@ -49,7 +59,35 @@ from elasticdeform_tpu.ops.windows import (
 )
 
 _DORDER = 3
-_PREFILTER_HALO = 16  # |pole|^16 < 1e-9 for all spline orders' poles
+
+# slab-local prefilter halo per order: ceil(ln(1e-9) / ln(|p_max|)) for the
+# largest IIR pole of each order (reference deform.c:1063-1084 poles:
+# order 2 |p|=0.1716, 3: 0.2679, 4: 0.3613, 5: 0.4306); the slab-local
+# prefilter then agrees with the global one to ~1e-9 of coefficient scale
+_PREFILTER_HALO = {2: 12, 3: 16, 4: 22, 5: 26}
+
+
+def validate_max_displacement(displacement, max_displacement,
+                              global_shape) -> float:
+    """Check the exact dense axis-0 displacement against the halo bound.
+
+    Computes the dense (post-prefilter, order-3) displacement field for
+    component 0 over the full volume — the same field the sharded op uses —
+    and raises ``ValueError`` if ``|field| > max_displacement`` anywhere.
+    Returns the measured maximum. Eager-only (not jit-traceable).
+    """
+    displacement = np.asarray(displacement)
+    cdt = default_compute_dtype(displacement.dtype)
+    disp_f = _prefilter_displacement(displacement[0:1], cdt)
+    d0 = dense_displacement(disp_f, tuple(global_shape), tuple(global_shape),
+                            (0,) * len(global_shape), cdt)[0]
+    mx = float(jnp.max(jnp.abs(d0)))
+    if mx > max_displacement:
+        raise ValueError(
+            f"displacement along the sharded axis reaches {mx:.4f}, above "
+            f"the declared max_displacement={max_displacement}; the halo "
+            "would clamp — increase max_displacement")
+    return mx
 
 
 def _dense_displacement_offset(disp_f, out_spatial, global_shape, row0, cdt):
@@ -94,29 +132,42 @@ def _dense_displacement_offset(disp_f, out_spatial, global_shape, row0, cdt):
 
 def sharded_deform_spatial(mesh: Mesh, x, displacement, *,
                            max_displacement: float, order: int = 3,
-                           mode: str = 'mirror', cval: float = 0.0,
+                           mode: str = 'mirror', cval=0.0,
                            prefilter: bool = True,
-                           axis_name: str = "shard"):
-    """Deform ONE volume sharded along axis 0 across the mesh.
+                           axis_name: str = "shard",
+                           validate: bool = False):
+    """Deform one volume (or a list sharing the deformation) sharded along
+    axis 0 across the mesh.
 
     Args:
         mesh: 1-D mesh whose ``axis_name`` axis shards the volume's axis 0.
-        x: (S0, ...) array; S0 must be divisible by the mesh axis size.
+        x: (S0, ...) array, or a list of same-shaped arrays (shared
+            deformation, like the reference's multi-input ``deform_grid``);
+            S0 must be divisible by the mesh axis size.
         displacement: (naxis, *points) control grid (replicated).
         max_displacement: static bound on |displacement| along axis 0, in
             voxels — sizes the halo exchange.
         order/mode/cval/prefilter: as in :func:`elasticdeform_tpu.deform`;
-            mode must be 'mirror' or 'constant'.
+            all five boundary modes are supported (one shared mode; ``cval``
+            may be a list per input).
+        validate: check ``max_displacement`` against the exact dense field
+            before running (eager calls only; raises on violation).
 
-    Returns the deformed volume, sharded like the input.
+    Returns the deformed volume(s), sharded like the input.
     """
+    is_list = isinstance(x, (list, tuple))
+    xs = [jnp.asarray(a) for a in (x if is_list else [x])]
+    cvals = list(cval) if isinstance(cval, (list, tuple)) \
+        else [cval] * len(xs)
+    assert len(cvals) == len(xs)
+    for a in xs[1:]:
+        assert a.shape == xs[0].shape, \
+            "all inputs must share the (deformed) shape"
+
     mode_code = _modes.mode_to_code(mode)
-    if mode_code not in (_modes.MODE_MIRROR, _modes.MODE_CONSTANT):
-        raise NotImplementedError(
-            "spatial sharding supports mode 'mirror' or 'constant'; use "
-            "batch-parallel sharding or a single chip for other modes")
+    wrap = mode_code == _modes.MODE_WRAP
     n = mesh.shape[axis_name]
-    global_shape = tuple(int(d) for d in x.shape)
+    global_shape = tuple(int(d) for d in xs[0].shape)
     naxis = len(global_shape)
     assert displacement.shape[0] == naxis
     S0 = global_shape[0]
@@ -124,39 +175,72 @@ def sharded_deform_spatial(mesh: Mesh, x, displacement, *,
     s = S0 // n
     halo = int(math.ceil(max_displacement)) + order + 2
     if prefilter and order > 1:
-        halo += _PREFILTER_HALO
-    assert halo <= s, (
-        f"halo ({halo}) must fit in one shard ({s}); use fewer shards or a "
-        f"smaller max_displacement")
+        halo += _PREFILTER_HALO[order]
+    # the global-edge mirror slabs read x_local[1:halo+1], so the halo must
+    # be strictly smaller than one shard
+    assert halo + 1 <= s, (
+        f"halo ({halo}) + 1 must fit in one shard ({s}); use fewer shards "
+        f"or a smaller max_displacement")
 
-    cdt = default_compute_dtype(x.dtype, displacement.dtype)
+    if validate:
+        if isinstance(displacement, jax.core.Tracer):
+            raise ValueError(
+                "validate=True needs a concrete displacement; under jit "
+                "call validate_max_displacement(...) outside the trace")
+        validate_max_displacement(np.asarray(displacement),
+                                  max_displacement, global_shape)
+
+    cdt = default_compute_dtype(*( [a.dtype for a in xs]
+                                   + [displacement.dtype]))
     plan = window_plan(naxis, order)
     assert plan is not None
     n_lead, widths, strides = plan
     pad = pad_amount(order)
+    extra0 = widths[0 - n_lead] if 0 >= n_lead else 0
 
-    def local_fn(x_local, disp):
-        x_local = x_local.astype(cdt)
+    def _prefilter_block(block):
+        if prefilter and order > 1:
+            for d in range(naxis):
+                block = spline_filter1d(block, order, d)
+        return block
+
+    def _window_pad(block):
+        """Mirror + window padding on every axis (block: (*spatial, 1))."""
+        for h in range(naxis):
+            extra = widths[h - n_lead] if h >= n_lead else 0
+            idx = window_pad_indices(block.shape[h], pad, extra)
+            block = jnp.take(block, jnp.asarray(idx), axis=h)
+        return block
+
+    def local_fn(disp, *x_locals):
         r = jax.lax.axis_index(axis_name)
         row0 = (r * s).astype(jnp.int32)
 
-        # --- halo exchange over the ring (ICI) ---
+        # --- halo exchange over the ring (ICI), per input ---
         fwd = [(i, (i + 1) % n) for i in range(n)]
         bwd = [(i, (i - 1) % n) for i in range(n)]
-        from_left = jax.lax.ppermute(x_local[-halo:], axis_name, fwd)
-        from_right = jax.lax.ppermute(x_local[:halo], axis_name, bwd)
-        # global-edge ranks replace the ring halo with the mirror extension
-        # (the reference's tap folding is always mirror)
-        mirror_left = x_local[1:halo + 1][::-1]
-        mirror_right = x_local[-halo - 1:-1][::-1]
-        left = jnp.where(r == 0, mirror_left, from_left)
-        right = jnp.where(r == n - 1, mirror_right, from_right)
-        slab = jnp.concatenate([left, x_local, right], axis=0)
-
-        # --- prefilter (slab-local; halo absorbs the IIR tail) ---
-        if prefilter and order > 1:
-            for d in range(naxis):
-                slab = spline_filter1d(slab, order, d)
+        slabs = []
+        for x_local in x_locals:
+            x_local = x_local.astype(cdt)
+            from_left = jax.lax.ppermute(x_local[-halo:], axis_name, fwd)
+            from_right = jax.lax.ppermute(x_local[:halo], axis_name, bwd)
+            # global-edge ranks replace the ring halo with the mirror
+            # extension (the reference's tap folding is always mirror)
+            mirror_left = x_local[1:halo + 1][::-1]
+            mirror_right = x_local[-halo - 1:-1][::-1]
+            left = jnp.where(r == 0, mirror_left, from_left)
+            right = jnp.where(r == n - 1, mirror_right, from_right)
+            slab = jnp.concatenate([left, x_local, right], axis=0)
+            # --- prefilter (slab-local; halo absorbs the IIR tail) ---
+            xp = _window_pad(_prefilter_block(slab)[..., None])
+            if wrap:
+                # seam strips: rank n-1's from_right IS the volume head,
+                # rank 0's from_left IS the volume tail; on other ranks the
+                # strip content is unused (their voxels never cross-fold)
+                head = _window_pad(_prefilter_block(from_right)[..., None])
+                tail = _window_pad(_prefilter_block(from_left)[..., None])
+                xp = jnp.concatenate([xp, head, tail], axis=0)
+            slabs.append(xp)
         disp_f = _prefilter_displacement(disp, cdt)
 
         # --- dense displacement at global output positions ---
@@ -177,28 +261,38 @@ def sharded_deform_spatial(mesh: Mesh, x, displacement, *,
             if mode_code == _modes.MODE_CONSTANT:
                 inside = ins if inside is None else inside & ins
         # slab-local along axis 0 (clamped to the halo extent)
+        slab_len = s + 2 * halo
         local0 = mapped[0] - row0.astype(cdt) + halo
-        mapped[0] = jnp.clip(local0, 0, slab.shape[0] - 1)
+        coord0 = jnp.clip(local0, 0, slab_len - 1)
+        if wrap:
+            # samples whose wrap fold crossed the volume land in the seam
+            # strips appended after the main slab
+            L_main = slab_len + 2 * pad + extra0
+            L_strip = halo + 2 * pad + extra0
+            head_c = L_main + mapped[0]
+            tail_c = L_main + L_strip + (mapped[0] - (S0 - halo))
+            coord0 = jnp.where(local0 < 0, head_c,
+                               jnp.where(local0 > slab_len - 1, tail_c,
+                                         coord0))
+        mapped[0] = coord0
 
-        # --- resample the slab with the window kernel ---
-        xp = slab[..., None]
-        slab_spatial = xp.shape[:-1]
-        for h in range(naxis):
-            extra = widths[h - n_lead] if h >= n_lead else 0
-            idx = window_pad_indices(slab_spatial[h], pad, extra)
-            xp = jnp.take(xp, jnp.asarray(idx), axis=h)
-        y = resample_windows(xp, mapped, inside, order, out_spatial, cdt,
-                             pad)
-        y = y[..., 0]
-        if inside is not None:
-            y = y + jnp.where(inside, jnp.zeros((), cdt),
-                              jnp.asarray(cval, cdt))
-        return y
+        # --- resample the slabs with the window kernel ---
+        ys = []
+        for xp, cv in zip(slabs, cvals):
+            y = resample_windows(xp, mapped, inside, order, out_spatial,
+                                 cdt, pad)[..., 0]
+            if inside is not None:
+                y = y + jnp.where(inside, jnp.zeros((), cdt),
+                                  jnp.asarray(cv, cdt))
+            ys.append(y)
+        return tuple(ys)
 
     from jax import shard_map
     spec_in = P(axis_name, *([None] * (naxis - 1)))
     fn = shard_map(local_fn, mesh=mesh,
-                   in_specs=(spec_in, P(*([None] * (naxis + 1)))),
-                   out_specs=spec_in)
-    out = fn(jnp.asarray(x), jnp.asarray(displacement))
-    return cast_output(out, np.dtype(x.dtype))
+                   in_specs=(P(*([None] * (naxis + 1))),)
+                            + (spec_in,) * len(xs),
+                   out_specs=(spec_in,) * len(xs))
+    outs = fn(jnp.asarray(displacement), *xs)
+    outs = [cast_output(o, np.dtype(a.dtype)) for o, a in zip(outs, xs)]
+    return list(outs) if is_list else outs[0]

@@ -18,7 +18,11 @@ from elasticdeform_tpu import api as _api
 class ElasticDeform(_torch.autograd.Function):
     @staticmethod
     def forward(ctx, displacement, args, kwargs, *xs):
-        ctx.displacement = displacement
+        # save_for_backward keeps autograd's version-counter checks: an
+        # in-place edit of displacement between forward and backward raises
+        # the standard autograd error instead of silently using stale data
+        # (matches the reference shim, reference torch.py:9)
+        ctx.save_for_backward(displacement)
         ctx.args = args
         ctx.kwargs = kwargs
         ctx.x_shapes = [tuple(x.shape) for x in xs]
@@ -30,7 +34,8 @@ class ElasticDeform(_torch.autograd.Function):
 
     @staticmethod
     def backward(ctx, *dys):
-        displacement_numpy = ctx.displacement.detach().cpu().numpy()
+        (displacement,) = ctx.saved_tensors
+        displacement_numpy = displacement.detach().cpu().numpy()
         dys_numpy = [dy.detach().cpu().numpy() for dy in dys]
         dxs = _api.deform_grid_gradient(dys_numpy, displacement_numpy,
                                         *ctx.args, X_shape=ctx.x_shapes,

@@ -36,7 +36,7 @@ from elasticdeform_tpu.ops.modes import (
 _ORACLE_PAD = 48  # IIR tail < 1e-14 for all orders' poles
 
 
-def _dense_coords(X, displacement, axis, crop):
+def _dense_coords(X, displacement, axis, crop, affine=None):
     points = [displacement[0].shape[d] for d in range(len(axis))]
     coordinates = np.meshgrid(*[np.arange(X.shape[d]) for d in axis],
                               indexing='ij')
@@ -49,8 +49,23 @@ def _dense_coords(X, displacement, axis, crop):
                           for i in range(X.ndim))
     else:
         crop_full = (slice(None),) * X.ndim
+    naxis = len(axis)
+    if affine is not None:
+        # reference deform.c:771-777: the (inverse) affine acts on the
+        # 0-based *cropped output* coordinate; the crop offset and the
+        # displacement are added afterwards (deform.c:781)
+        offsets = [(crop[i].start or 0) if crop is not None else 0
+                   for i in range(naxis)]
+        o = [coordinates[l] - offsets[l] for l in range(naxis)]
+        base = []
+        for h in range(naxis):
+            acc = np.full(o[0].shape, float(affine[h, naxis]))
+            for l in range(naxis):
+                acc = acc + affine[h, l] * o[l]
+            base.append(acc + offsets[h])
+        coordinates = base
     coords = []
-    for i in range(len(axis)):
+    for i in range(naxis):
         yd = scipy.ndimage.map_coordinates(displacement[i], xi, order=3)
         coords.append(coordinates[i] + yd)
     return coords, crop_full
@@ -81,11 +96,15 @@ def deform_grid_oracle(X, displacement, order=3, mode='constant', cval=0.0,
 
 def deform_grid_oracle_oldmode(X, displacement, order=3, mode='constant',
                                cval=0.0, crop=None, prefilter=True,
-                               axis=None):
-    """All-modes oracle with the pre-SciPy-1.6 boundary semantics."""
+                               axis=None, affine=None):
+    """All-modes oracle with the pre-SciPy-1.6 boundary semantics.
+
+    ``affine`` (optional): the (naxis, naxis+1) *inverse* affine applied to
+    output coordinates, reference deform.c:771-777 semantics.
+    """
     axis = _normalize_axis(X, axis)
     mode_code = mode_to_code(mode)
-    coords, crop_full = _dense_coords(X, displacement, axis, crop)
+    coords, crop_full = _dense_coords(X, displacement, axis, crop, affine)
 
     mapped = []
     inside = np.ones(coords[0].shape, dtype=bool)

@@ -114,6 +114,28 @@ def test_sharded_gradient():
                                rtol=1e-9, atol=1e-9)
 
 
+def test_batched_displacement_grad_grouped(monkeypatch):
+    """The displacement gradient must be identical when the backward
+    scatter processes the batch in groups (regression: grouped d_cc used
+    sample offsets into the full table instead of the group's slice)."""
+    from elasticdeform_tpu.ops import windows
+
+    batch = 4
+    X = jnp.asarray(RNG.random((batch, 10, 12)))
+    D = jnp.asarray(RNG.standard_normal((batch, 2, 3, 3)) * 2)
+
+    def loss(d):
+        return jnp.sum(ed.deform_batch(X, d, order=3, mode='mirror',
+                                       batch_impl='native') ** 2)
+
+    g_full = jax.grad(loss)(D)
+    # force group size 1 (each sample's table sliced separately)
+    monkeypatch.setattr(windows, "_BWD_GROUP_BYTES", 1)
+    g_grouped = jax.grad(loss)(D)
+    np.testing.assert_allclose(np.asarray(g_grouped), np.asarray(g_full),
+                               rtol=1e-10, atol=1e-10)
+
+
 def test_pipeline_streams():
     key = jax.random.PRNGKey(3)
     batches = [RNG.random((2, 12, 12)).astype(np.float32) for _ in range(3)]

@@ -50,7 +50,7 @@ def test_basic_2d_points(points):
     run_comparison((50, 40), points, order=2, mode='constant')
 
 
-@pytest.mark.parametrize("order", [0, 1, 3, 4])
+@pytest.mark.parametrize("order", [0, 1, 2, 3, 4, 5])
 def test_basic_3d(order):
     run_comparison((25, 30, 20), (3, 3, 3), order=order)
 
@@ -200,6 +200,67 @@ def test_integer_dtype_round_clamp():
     diff = np.abs(out.astype(int) - ref_cast.astype(int))
     frac = np.abs((ref + 0.5) - np.round(ref + 0.5))
     assert ((diff == 0) | (frac < 1e-6)).all()
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.int16])
+@pytest.mark.parametrize("order", [2, 3, 5])
+def test_integer_prefilter_c_cast(dtype, order):
+    """Integer inputs with prefilter and order>1 follow the reference's
+    int-dtype prefilter writeback (C truncate+wrap cast per axis).
+
+    The reference writes each per-axis spline_filter1d result into
+    ``numpy.zeros_like(x)`` (reference deform_grid.py:157-161), so the
+    coefficients themselves live in the integer dtype between axes — e.g.
+    -12.69 becomes 244 in uint8. The oracle replicates that exact pipeline.
+    """
+    import scipy.ndimage
+    X = (RNG.random((30, 28)) * 200).astype(dtype)
+    displacement = RNG.standard_normal((2, 3, 3)) * 8
+    out = ed.deform_grid(X, displacement, order=order, mode='mirror')
+    assert out.dtype == dtype
+
+    # oracle: the reference's integer-dtype per-axis prefilter ...
+    x = X
+    for d in range(2):
+        x_f = np.zeros_like(x)
+        scipy.ndimage.spline_filter1d(x, axis=d, order=order, output=x_f)
+        x = x_f
+    # ... then resample the integer coefficient table without prefiltering
+    ref = deform_grid_oracle_oldmode(x.astype(np.float64), displacement,
+                                     order=order, prefilter=False,
+                                     mode='mirror')
+    # reference output cast: round half away from zero + clamp
+    info = np.iinfo(dtype)
+    if np.dtype(dtype).kind == 'u':
+        r = np.where(ref > 0, ref + 0.5, 0.0)
+    else:
+        r = np.where(ref > 0, ref + 0.5, ref - 0.5)
+    ref_cast = np.trunc(np.clip(r, info.min, info.max)).astype(dtype)
+    diff = np.abs(out.astype(np.int64) - ref_cast.astype(np.int64))
+    # allow off-by-one where the value sits within fp tolerance of x.5
+    frac = np.abs((np.abs(ref) + 0.5) - np.round(np.abs(ref) + 0.5))
+    assert ((diff == 0) | (frac < 1e-6)).all(), \
+        f"{(diff != 0).mean():.3f} mismatched, max {diff.max()}"
+
+
+def test_affine_crop_axis_3d():
+    """3D affine combined with crop and a channel axis vs the oracle —
+    a combination the reference never tests (its affine tests are 2D or
+    identity-only, tests/test_deform_grid.py:121-133)."""
+    from elasticdeform_tpu.affine import inverse_affine
+
+    X = RNG.random((3, 30, 26, 28))
+    displacement = RNG.standard_normal((3, 3, 3, 3)) * 4
+    affine = np.eye(4) + RNG.standard_normal((4, 4)) * 0.02
+    affine[3] = [0, 0, 0, 1]
+    inv = inverse_affine(affine[:3, :])
+    for crop in (None, (slice(5, 25), slice(4, 20), slice(6, 22))):
+        res = ed.deform_grid(X, displacement, axis=(1, 2, 3), affine=affine,
+                             crop=crop, mode='mirror')
+        ref = deform_grid_oracle_oldmode(X, displacement, axis=(1, 2, 3),
+                                         affine=inv, crop=crop,
+                                         mode='mirror')
+        np.testing.assert_allclose(ref, res, rtol=1e-5, atol=1e-8)
 
 
 def test_bool_passthrough():

@@ -100,7 +100,7 @@ def verify_grad(X, fn, grad_fn, eps=1e-5, n_tests=2):
 
 
 @pytest.mark.parametrize("mode", ["mirror", "constant", "wrap"])
-@pytest.mark.parametrize("order", [0, 1, 3])
+@pytest.mark.parametrize("order", [0, 1, 3, 5])
 def test_numeric_grad_2d(order, mode):
     X = RNG.random((9, 8))
     displacement = RNG.standard_normal((2, 3, 3)) * 2

@@ -7,9 +7,13 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 
 import elasticdeform_tpu as ed
-from elasticdeform_tpu.parallel import sharded_deform_spatial
+from elasticdeform_tpu.parallel import (
+    sharded_deform_spatial, validate_max_displacement,
+)
 
 RNG = np.random.default_rng(555)
+
+ALL_MODES = ("nearest", "wrap", "reflect", "mirror", "constant")
 
 
 def _mesh(n):
@@ -19,25 +23,56 @@ def _mesh(n):
 
 
 @pytest.mark.parametrize("nshards", [2, 4])
-@pytest.mark.parametrize("order", [1, 3])
-def test_matches_single_device_mirror(nshards, order):
+@pytest.mark.parametrize("mode", ALL_MODES)
+def test_matches_single_device_all_modes(nshards, mode):
     mesh = _mesh(nshards)
     X = RNG.random((128, 16, 14))
     d = RNG.standard_normal((3, 3, 3, 3)) * 4
-    ref = ed.deform_grid(X, d, order=order, mode='mirror')
+    ref = ed.deform_grid(X, d, order=3, mode=mode, cval=2.5)
     out = sharded_deform_spatial(mesh, X, d, max_displacement=8,
-                                 order=order, mode='mirror')
+                                 order=3, mode=mode, cval=2.5)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-7)
 
 
-def test_matches_single_device_constant():
-    mesh = _mesh(4)
-    X = RNG.random((128, 16, 14))
-    d = RNG.standard_normal((3, 3, 3, 3)) * 4
-    ref = ed.deform_grid(X, d, order=3, mode='constant', cval=2.5)
-    out = sharded_deform_spatial(mesh, X, d, max_displacement=8,
-                                 order=3, mode='constant', cval=2.5)
+@pytest.mark.parametrize("order", [1, 3, 4, 5])
+@pytest.mark.parametrize("mode", ["mirror", "wrap"])
+def test_matches_single_device_orders(order, mode):
+    # orders 4-5 need the larger per-order prefilter halo
+    mesh = _mesh(2)
+    X = RNG.random((96, 14, 12))
+    d = RNG.standard_normal((3, 3, 3, 3)) * 3
+    ref = ed.deform_grid(X, d, order=order, mode=mode)
+    out = sharded_deform_spatial(mesh, X, d, max_displacement=7,
+                                 order=order, mode=mode)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-7)
+
+
+def test_wrap_edge_folding():
+    # large displacement so edge voxels genuinely fold across the volume
+    mesh = _mesh(2)
+    X = RNG.random((128, 12))
+    d = np.clip(RNG.standard_normal((2, 5, 3)) * 8, -15, 15)
+    ref = ed.deform_grid(X, d, order=3, mode='wrap')
+    out = sharded_deform_spatial(mesh, X, d, max_displacement=17,
+                                 order=3, mode='wrap')
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-7)
+
+
+def test_multi_input():
+    mesh = _mesh(2)
+    X = RNG.random((96, 14))
+    Y = (RNG.random((96, 14)) * 100).astype(np.float32)
+    d = RNG.standard_normal((2, 3, 3)) * 4
+    ref_X = ed.deform_grid(X, d, order=3, mode='mirror')
+    ref_Y = ed.deform_grid(Y, d, order=3, mode='mirror')
+    out_X, out_Y = sharded_deform_spatial(mesh, [X, Y], d,
+                                          max_displacement=8, order=3,
+                                          mode='mirror')
+    assert out_Y.dtype == np.float32
+    np.testing.assert_allclose(np.asarray(out_X), ref_X,
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out_Y), ref_Y,
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_2d_spatial():
@@ -50,12 +85,23 @@ def test_2d_spatial():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-7)
 
 
-def test_unsupported_mode_raises():
+def test_validate_passes_and_detects():
     mesh = _mesh(2)
-    X = RNG.random((40, 10))
-    d = RNG.standard_normal((2, 3, 3))
-    with pytest.raises(NotImplementedError):
-        sharded_deform_spatial(mesh, X, d, max_displacement=5, mode='wrap')
+    X = RNG.random((96, 12))
+    d = RNG.standard_normal((2, 3, 3)) * 5
+    # generous bound: validation passes and the result is correct
+    out = sharded_deform_spatial(mesh, X, d, max_displacement=20,
+                                 order=3, mode='mirror', validate=True)
+    ref = ed.deform_grid(X, d, order=3, mode='mirror')
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-7)
+    # too-tight bound: the violation is detected instead of silent clamping
+    big = np.zeros((2, 3, 3))
+    big[0, 1, 1] = 30.0
+    with pytest.raises(ValueError, match="max_displacement"):
+        sharded_deform_spatial(mesh, X, big, max_displacement=10,
+                               order=3, mode='mirror', validate=True)
+    with pytest.raises(ValueError, match="max_displacement"):
+        validate_max_displacement(big, 10, X.shape)
 
 
 def test_halo_too_large_raises():
