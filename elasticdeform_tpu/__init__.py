@@ -1,16 +1,17 @@
-"""elasticdeform_tpu — TPU-native elastic grid deformation (JAX / XLA / Pallas).
+"""elasticdeform_tpu — TPU-native elastic grid deformation (JAX / XLA).
 
 A ground-up re-design of the capabilities of ``gvtulder/elasticdeform``
 (reference: /root/reference) for TPU hardware:
 
 * the C per-voxel loop (reference deform.c:340-1043) becomes a fused,
-  XLA-compiled gather pipeline (with optional Pallas kernels) that
-  interpolates a coarse control-point displacement grid to a dense
-  per-voxel field and resamples the input with order-0..5 B-splines,
+  XLA-compiled window-gather pipeline that interpolates a coarse
+  control-point displacement grid to a dense per-voxel field and resamples
+  the input with order-0..5 B-splines,
 * the analytic adjoint (reference deform.c gradient path + the transpose
-  spline prefilter, deform.c:1049-1168) is obtained exactly via
-  ``jax.linear_transpose`` of the same linear map, so forward/backward are
-  consistent to machine precision and usable as a differentiable layer
+  spline prefilter, deform.c:1049-1168) is the exact transpose of the same
+  linear map — hand-written custom adjoints for the two heavy stages, a
+  backward-only pipeline for the gradient entry point — so forward/backward
+  are consistent to machine precision and usable as a differentiable layer
   under ``jit`` / ``vmap`` / ``shard_map``,
 * the recursive IIR spline prefilter (reference deform_grid.py:154-169)
   becomes an MXU-friendly dense matrix multiply with a per-(length, order)

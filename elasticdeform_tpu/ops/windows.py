@@ -26,12 +26,14 @@ row gather per output voxel:
    output is ``sum(row * wrow)`` — all fused elementwise work.
 
 The computation is tap-for-tap identical to the reference semantics
-(reference deform.c:818-901); only the memory layout differs. Both heavy
-stages carry hand-written adjoints (``custom_vjp``): the table build's
-backward is a per-axis matmul fold, and the gather stage's backward is a
-sample-grouped, voxel-chunked row scatter-add — XLA's own transposes of
-these programs were measured 3-20x slower (transposed grouped convs,
-scan-carried table accumulation).
+(reference deform.c:818-901); only the memory layout differs. The table
+build + gather run as ONE ``custom_vjp`` op (:func:`_windows_op`) whose
+hand-written backward scatters cotangent rows per sample group and
+immediately folds each group's block onto the padded volume (a lane-space
+one-hot matmul, :func:`_fold_table_v2`) — XLA's own transposes of these
+programs were measured 3-20x slower (transposed grouped convs,
+scan-carried table accumulation), and fusing the stages avoids ever
+materializing the multi-GB table cotangent.
 
 For orders/naxis where 128 lanes cannot cover the full stencil
 (order >= 4 in 3D, naxis >= 4), leading axes fall back to a short static
@@ -118,6 +120,77 @@ def _fold_matrix(P: int, T: int, a: int, s: int, dtype_name: str):
     return A
 
 
+@functools.lru_cache(maxsize=None)
+def _zfold_matrix(T: int, widths, stride: int, P: int, dtype_name: str):
+    """One-hot matrix folding the LAST windowed axis in lane space.
+
+    Input features: ``(t_z, u_0, .., u_z)`` = ``T * prod(widths)``; output
+    features: ``(u_0, .., u_{z-1}, p_z)`` = ``prod(widths[:-1]) * P``; entry
+    1 iff ``t_z * stride + u_z == p_z``. Contracting with it keeps the
+    minor dimension wide (``P`` lanes) instead of exposing the tiny window
+    dims — the (8, 128) tile layout would pad those ~10x.
+    """
+    lanes = math.prod(widths)
+    a_z = widths[-1]
+    a_rest = lanes // a_z
+    M = np.zeros((T * lanes, a_rest * P), dtype=dtype_name)
+    for t in range(T):
+        for ur in range(a_rest):
+            for uz in range(a_z):
+                p = t * stride + uz
+                if p < P:
+                    M[t * lanes + ur * a_z + uz, ur * P + p] = 1
+    return M
+
+
+def _fold_table_v2(ct, spatial, widths, strides, n_lead, channels, nbatch,
+                   batched):
+    """Fold table-row cotangents back onto the padded volume (overlap-add).
+
+    Same contraction as :func:`_fold_table` but the last windowed axis is
+    folded FIRST by a single one-hot matmul over the lane dimension
+    (:func:`_zfold_matrix`) — all intermediates keep a wide minor dim, which
+    the tile layout handles ~4x better than the window-dim reshapes of the
+    original formulation (measured 141 -> ~35 ms on the 64x 64^3 batch).
+    """
+    naxis = len(spatial)
+    nw = naxis - n_lead
+    counts = [(spatial[n_lead + k] - widths[k]) // strides[k] + 1
+              for k in range(nw)]
+    lead = math.prod(spatial[:n_lead]) if n_lead else 1
+    BL = nbatch * lead
+    dt = ct.dtype.name
+    lanes = math.prod(widths)
+    P_z = spatial[-1]
+    T_z = counts[-1]
+    a_rest = lanes // widths[-1]
+
+    # --- fold the last windowed axis in lane space (one matmul) ---
+    z = ct.reshape(BL * math.prod(counts[:-1]), T_z, channels, lanes)
+    if channels > 1:
+        z = jnp.swapaxes(z, 1, 2)  # (.., C, T_z, lanes)
+    Fz = jnp.asarray(_zfold_matrix(T_z, tuple(widths), strides[-1], P_z, dt))
+    z = z.reshape(-1, T_z * lanes)
+    z = jnp.dot(z, Fz, precision=jax.lax.Precision.HIGHEST)
+    # (BL, T_0.., T_{nw-2}, C, a_0.., a_{nw-2}, P_z)
+    z = z.reshape(BL, *counts[:-1], channels, *widths[:-1], P_z)
+
+    # --- remaining windowed axes: per-axis contractions, P_z stays minor ---
+    # at step k dims are [BL, T_k..T_{nw-2}, C, a_k..a_{nw-2}, P_z,
+    # P_0..P_{k-1}]; count axis is 1, width axis is (nw-1-k) + 2
+    for k in range(nw - 1):
+        A = jnp.asarray(_fold_matrix(spatial[n_lead + k], counts[k],
+                                     widths[k], strides[k], dt))
+        z = jnp.tensordot(z, A, axes=[[1, nw - 1 - k + 2], [1, 2]],
+                          precision=jax.lax.Precision.HIGHEST)
+    # z: (BL, C, P_z, P_{n_lead}..P_{naxis-2}) -> (B?, *spatial, C)
+    z = jnp.moveaxis(z, 1, -1)            # channels last
+    z = jnp.moveaxis(z, 1, naxis - n_lead)  # P_z to its spatial slot
+    if batched:
+        return z.reshape(nbatch, *spatial, channels)
+    return z.reshape(*spatial, channels)
+
+
 def _fold_table(ct, spatial, widths, strides, n_lead, channels, nbatch,
                 batched):
     """Adjoint of the window-table build: overlap-add the cotangent rows
@@ -151,65 +224,6 @@ def _fold_table(ct, spatial, widths, strides, n_lead, channels, nbatch,
     return z.reshape(*spatial, channels)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
-def _table_op(xp, widths, strides, n_lead, batched, spatial, channels,
-              nbatch):
-    """Window-table build with a hand-written adjoint.
-
-    The primal is the grouped one-hot conv of :func:`_build_table_impl`;
-    the backward is the per-axis matmul fold of :func:`_fold_table` (XLA's
-    own transposed-conv derivative is ~3x slower, measured 280 vs 108 ms on
-    a 64x 64^3 batch). Reverse-mode only, like any custom_vjp.
-    """
-    table2, _ = _build_table_impl(xp, widths, strides, n_lead, batched)
-    return table2
-
-
-def _table_op_fwd(xp, widths, strides, n_lead, batched, spatial, channels,
-                  nbatch):
-    table2, _ = _build_table_impl(xp, widths, strides, n_lead, batched)
-    return table2, None
-
-
-def _fold_table_grouped(ct, spatial, widths, strides, n_lead, channels,
-                        nbatch, batched):
-    # The fold's intermediates expose the window dims (e.g. (4,4,8)) as
-    # minor axes, which the (8,128) tile layout pads ~10x — at batch 64
-    # that is a 21 GB reshape. Process the batch in groups to bound it.
-    group = 4
-    if not batched or nbatch <= group:
-        return _fold_table(ct, spatial, widths, strides, n_lead, channels,
-                           nbatch, batched)
-    rows = ct.shape[0] // nbatch
-    parts = []
-    for b0 in range(0, nbatch, group):
-        g = min(group, nbatch - b0)
-        ct_g = jax.lax.slice_in_dim(ct, b0 * rows, (b0 + g) * rows, axis=0)
-        parts.append(_fold_table(ct_g, spatial, widths, strides, n_lead,
-                                 channels, g, True))
-    return jnp.concatenate(parts, axis=0)
-
-
-def _table_op_bwd(widths, strides, n_lead, batched, spatial, channels,
-                  nbatch, _res, ct):
-    return (_fold_table_grouped(ct, spatial, widths, strides, n_lead,
-                                channels, nbatch, batched),)
-
-
-_table_op.defvjp(_table_op_fwd, _table_op_bwd)
-
-
-def _build_table(xp, widths, strides, n_lead, batched=False):
-    """Build the window table with the custom-adjoint conv op."""
-    spatial = xp.shape[1:-1] if batched else xp.shape[:-1]
-    table2 = _table_op(xp, tuple(widths), tuple(strides), n_lead, batched,
-                       tuple(spatial), xp.shape[-1],
-                       xp.shape[0] if batched else 1)
-    nw = len(spatial) - n_lead
-    counts = [(spatial[n_lead + k] - widths[k]) // strides[k] + 1
-              for k in range(nw)]
-    return table2, tuple(spatial[:n_lead]) + tuple(counts)
-
 
 def _build_table_impl(xp, widths, strides, n_lead, batched=False):
     """Expand padded input (*spatial, C) into the overlapping window table.
@@ -242,6 +256,31 @@ def _build_table_impl(xp, widths, strides, n_lead, batched=False):
     lead_dims = spatial[:n_lead]
     batch = nbatch * max(math.prod(lead_dims), 1)
     xin = xp.reshape(batch, *spatial[n_lead:], C)
+
+    # small-batch convs underutilize the chip: split the first windowed
+    # axis into overlapping slabs to manufacture conv batch. Slabs must
+    # tile the window count exactly (K divides counts[0]) and stay tall
+    # enough to keep the conv efficient (measured on a single 136^3 table:
+    # K=7/slab 19 -> 9.6 ms vs K=1 -> 28.3 ms vs K=19/slab 7 -> 29.4 ms).
+    K = 1
+    if batch < 16 and nw >= 2 and counts[0] >= 16:
+        for k in range(min(64 // batch, counts[0] // 8), 1, -1):
+            if counts[0] % k == 0 and counts[0] // k >= 8:
+                K = k
+                break
+    if K > 1:
+        t0_slab = counts[0] // K
+        s0, w0 = strides[0], widths[0]
+        slab_in = (t0_slab - 1) * s0 + w0
+        slabs = jnp.stack(
+            [jax.lax.slice_in_dim(xin, k * t0_slab * s0,
+                                  k * t0_slab * s0 + slab_in, axis=1)
+             for k in range(K)], axis=1)
+        xin = slabs.reshape(batch * K, slab_in, *xin.shape[2:])
+        conv_counts = [t0_slab] + counts[1:]
+    else:
+        conv_counts = counts
+
     kernel = jnp.asarray(_patch_kernel(tuple(widths), C, xp.dtype.name))
     dn = jax.lax.conv_dimension_numbers(xin.shape, kernel.shape,
                                         _CONV_SPECS[nw])
@@ -250,6 +289,8 @@ def _build_table_impl(xp, widths, strides, n_lead, batched=False):
         xin, kernel, window_strides=tuple(strides), padding="VALID",
         dimension_numbers=dn, feature_group_count=C,
         precision=jax.lax.Precision.HIGHEST)
+    assert out.shape[1:-1] == tuple(conv_counts), (out.shape, conv_counts)
+    # slab rows are (batch, K, t0_slab, T1..) = (batch, T0, T1..) row-major
     n_rows = batch * math.prod(counts)
     table2 = out.reshape(n_rows, C * lanes)
     # table_dims are PER-SAMPLE; batched tables are row-major with the
@@ -277,9 +318,12 @@ def _shifted_weight_vector(w_taps, offset, width, order, dtype):
 # (x batch under vmap), while each step still issues >10^4 row gathers.
 _CHUNK_ROWS = int(os.environ.get("ELASTICDEFORM_TPU_CHUNK_ROWS", "32768"))
 
-# cap on the gathered-value buffer materialized per backward scatter group
+# cap on the gathered-value buffer materialized per backward scatter group.
+# Small groups win: the HBM read-modify-write of the row scatter is locality
+# bound (measured on v5e, 64x 64^3: per-sample groups 265 ms vs 352 ms for
+# 8-sample groups)
 _BWD_GROUP_BYTES = int(os.environ.get(
-    "ELASTICDEFORM_TPU_BWD_GROUP_BYTES", str(1 << 30)))
+    "ELASTICDEFORM_TPU_BWD_GROUP_BYTES", str(64 << 20)))
 
 
 class _StageParams(NamedTuple):
@@ -412,86 +456,115 @@ def _stage_primal(table2, cc_flat, p: _StageParams):
     return acc.reshape(n_padded, p.channels)[:n_out]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _gather_stage(table2, cc_flat, p: _StageParams):
-    """Gather stage with a hand-written adjoint.
-
-    The XLA transpose of the streamed ``lax.map`` accumulates the table
-    cotangent through a scan carry, copying the full table every step
-    (measured 13 M rows/s); the custom backward instead scatters each
-    sample group into its own fresh table block — no carried accumulation
-    (sample groups touch disjoint rows).
-    """
-    return _stage_primal(table2, cc_flat, p)
-
-
-def _gather_stage_fwd(table2, cc_flat, p):
-    return _stage_primal(table2, cc_flat, p), (table2, cc_flat)
-
-
-def _dtable_from_g(g, cc_flat, p: _StageParams):
-    """Transpose of the gather stage w.r.t. the table: scatter ``g`` rows.
-
-    Per-tap scatter of ``g * lane weights``, sample-grouped (disjoint rows,
-    no carried accumulation) and voxel-chunked; the in-place at[].add chain
-    has no scan carry, so XLA aliases the destination buffer across steps.
-    Reference semantics: the scatter-add gradient loop deform.c:953-995.
-    """
+def _bwd_group(p: _StageParams):
+    """Samples per backward group (bounds the live scatter target)."""
     B = max(p.nbatch, 1)
-    n_s = p.n_out_s
-    bytes_per_sample = n_s * p.channels * p.lane_count * 4
-    group = max(1, min(B, _BWD_GROUP_BYTES // max(bytes_per_sample, 1)))
+    bytes_per_sample = p.n_out_s * p.channels * p.lane_count * 4
+    return max(1, min(B, _BWD_GROUP_BYTES // max(bytes_per_sample, 1)))
 
+
+def _scatter_group(g_g, cc_g, p: _StageParams, gsz: int):
+    """Scatter one sample group's cotangent rows into its table block.
+
+    Per-tap scatter of ``g * lane weights``, voxel-chunked; the in-place
+    at[].add chain has no scan carry, so XLA aliases the destination buffer
+    across steps. Reference semantics: the scatter-add gradient loop
+    deform.c:953-995.
+    """
+    n_s = p.n_out_s
+    m_g = gsz * n_s
     # voxel chunk for the scatter-value buffers: bounds the live
     # (chunk, 128) weight/value intermediates, which matters when this
     # backward itself runs under vmap (each instance would otherwise
-    # materialize its full per-sample buffer, x batch)
-    vchunk = 4 * _CHUNK_ROWS
+    # materialize its full per-sample buffer, x batch). Measured on v5e
+    # (64x 64^3): 65536-row chunks 231 ms vs 309 ms for 131072.
+    vchunk = 2 * _CHUNK_ROWS
 
-    d_tables = []
+    dt = jnp.zeros((gsz * p.rows_per_sample,
+                    p.channels * p.lane_count), p.compute_dtype)
+    for v0 in range(0, m_g, vchunk):
+        v1 = min(v0 + vchunk, m_g)
+        cc_c = cc_g[v0:v1]
+        g_c = g_g[v0:v1]
+        row_base, wrow, weights = _chunk_weights(cc_c, p)
+        if gsz > 1:
+            vox = jnp.arange(v0, v1, dtype=jnp.int32)
+            row_base = row_base + (vox // n_s) * p.rows_per_sample
+        for tap_off, tap_w in _lead_taps(weights, p):
+            gv = g_c if tap_w is None else g_c * tap_w[:, None]
+            if p.channels == 1:
+                vals = gv * wrow
+            else:
+                vals = (gv[:, :, None] * wrow[:, None, :]).reshape(
+                    gv.shape[0], p.channels * p.lane_count)
+            idx = row_base + tap_off if tap_off else row_base
+            dt = dt.at[idx].add(vals)
+    return dt
+
+
+def _scatter_fold(g, cc_flat, p: _StageParams, padded_spatial, batched):
+    """Backward-only pipeline: scatter cotangent rows per sample group and
+    immediately fold each group's table block onto the padded volume.
+
+    Fusing the fold into the group loop keeps the table cotangent working
+    set at one group (~34 MB for a 64^3 sample) instead of materializing
+    the full multi-GB d_table before folding — the scatter's HBM
+    read-modify-write is locality-bound (measured on v5e, 64x 64^3:
+    per-sample groups 265 ms vs 352 ms for 8-sample, 1297 ms for one
+    64-sample scatter).
+    """
+    B = max(p.nbatch, 1)
+    group = _bwd_group(p)
+    n_s = p.n_out_s
+    parts = []
     for b0 in range(0, B, group):
         gsz = min(group, B - b0)
         sl = slice(b0 * n_s, (b0 + gsz) * n_s)
-        cc_g = cc_flat[sl]
-        g_g = g[sl]
-        m_g = gsz * n_s
-
-        dt = jnp.zeros((gsz * p.rows_per_sample,
-                        p.channels * p.lane_count), p.compute_dtype)
-        for v0 in range(0, m_g, vchunk):
-            v1 = min(v0 + vchunk, m_g)
-            cc_c = cc_g[v0:v1]
-            g_c = g_g[v0:v1]
-            row_base, wrow, weights = _chunk_weights(cc_c, p)
-            if B > 1:
-                vox = jnp.arange(v0, v1, dtype=jnp.int32)
-                row_base = row_base + (vox // n_s) * p.rows_per_sample
-            for tap_off, tap_w in _lead_taps(weights, p):
-                gv = g_c if tap_w is None else g_c * tap_w[:, None]
-                if p.channels == 1:
-                    vals = gv * wrow
-                else:
-                    vals = (gv[:, :, None] * wrow[:, None, :]).reshape(
-                        gv.shape[0], p.channels * p.lane_count)
-                idx = row_base + tap_off if tap_off else row_base
-                dt = dt.at[idx].add(vals)
-        d_tables.append(dt)
-    return d_tables[0] if len(d_tables) == 1 else \
-        jnp.concatenate(d_tables, axis=0)
+        dt_g = _scatter_group(g[sl], cc_flat[sl], p, gsz)
+        parts.append(_fold_table_v2(dt_g, tuple(padded_spatial), p.widths,
+                                    p.strides, p.n_lead, p.channels, gsz,
+                                    batched))
+    if len(parts) == 1:
+        return parts[0]
+    return jnp.concatenate(parts, axis=0)
 
 
-def _gather_stage_bwd(p, res, g):
-    table2, cc_flat = res
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _windows_op(xp, cc_flat, p: _StageParams, padded_spatial, batched):
+    """Fused table-build + window-gather with a hand-written adjoint.
+
+    Primal: the one-hot grouped conv (im2col) followed by the streamed
+    gather-reduce. Backward w.r.t. ``xp``: scatter + fold per sample group
+    (:func:`_scatter_fold`) — XLA's own transposes were measured 3-20x
+    slower (scan-carried table accumulation at 13 M rows/s, lhs-dilated
+    transposed conv at 280 ms), and keeping the two stages in one op avoids
+    materializing the full table cotangent between them. Backward w.r.t.
+    ``cc_flat``: forward-mode through the differentiable spline weights on
+    a recomputed table (dead-code-eliminated when displacement gradients
+    are not requested).
+    """
+    table2, _ = _build_table_impl(xp, p.widths, p.strides, p.n_lead, batched)
+    return _stage_primal(table2, cc_flat, p)
+
+
+def _windows_op_fwd(xp, cc_flat, p, padded_spatial, batched):
+    table2, _ = _build_table_impl(xp, p.widths, p.strides, p.n_lead, batched)
+    return _stage_primal(table2, cc_flat, p), (xp, cc_flat)
+
+
+def _windows_op_bwd(p, padded_spatial, batched, res, g):
+    xp, cc_flat = res
     naxis = cc_flat.shape[-1]
     B = max(p.nbatch, 1)
     n_s = p.n_out_s
-    bytes_per_sample = n_s * p.channels * p.lane_count * 4
-    group = max(1, min(B, _BWD_GROUP_BYTES // max(bytes_per_sample, 1)))
+    group = _bwd_group(p)
 
-    d_table = _dtable_from_g(g, cc_flat, p)
+    d_xp = _scatter_fold(g, cc_flat, p, padded_spatial, batched)
 
-    # --- d_cc: forward-mode through the weight polynomials ---
-    # (dead-code-eliminated by XLA when the caller does not use it)
+    # --- d_cc: forward-mode through the weight polynomials on a recomputed
+    # table (rebuild ~43 ms vs keeping a multi-GB residual; XLA eliminates
+    # all of it when the caller does not use displacement gradients) ---
+    table2, _ = _build_table_impl(xp, p.widths, p.strides, p.n_lead, batched)
     d_ccs = []
     for b0 in range(0, B, group):
         gsz = min(group, B - b0)
@@ -517,10 +590,10 @@ def _gather_stage_bwd(p, res, g):
         d_ccs.append(jnp.stack(dcc_cols, axis=-1))
 
     d_cc = d_ccs[0] if len(d_ccs) == 1 else jnp.concatenate(d_ccs, axis=0)
-    return (d_table, d_cc)
+    return (d_xp, d_cc)
 
 
-_gather_stage.defvjp(_gather_stage_fwd, _gather_stage_bwd)
+_windows_op.defvjp(_windows_op_fwd, _windows_op_bwd)
 
 
 def _make_params(padded_spatial, channels, B, naxis, order, out_spatial,
@@ -585,9 +658,7 @@ def resample_windows_transpose(g, mapped, inside, order: int, out_spatial,
     if inside is not None:
         mask = inside.reshape(n_out)[:, None]
         g2 = jnp.where(mask, g2, jnp.zeros((), g2.dtype))
-    dt = _dtable_from_g(g2, cc_flat, p)
-    return _fold_table_grouped(dt, tuple(padded_spatial), p.widths,
-                               p.strides, p.n_lead, C, B, batched)
+    return _scatter_fold(g2, cc_flat, p, tuple(padded_spatial), batched)
 
 
 def resample_windows(x, mapped, inside, order: int, out_spatial,
@@ -606,13 +677,10 @@ def resample_windows(x, mapped, inside, order: int, out_spatial,
 
     Large outputs are streamed in chunks with ``lax.map`` so the
     (chunk, 128) gathered-rows/lane-weight intermediates stay bounded; the
-    gather stage carries a custom adjoint (see :func:`_gather_stage`).
+    table build + gather run as one custom-adjoint op
+    (see :func:`_windows_op`).
     """
     naxis = len(mapped)
-    plan = window_plan(naxis, order)
-    assert plan is not None
-    n_lead, widths, strides = plan
-
     B = x.shape[0] if batched else 1
     n_out = B * math.prod(out_spatial)
     C = x.shape[-1]
@@ -621,13 +689,10 @@ def resample_windows(x, mapped, inside, order: int, out_spatial,
     # _row_offsets against tables past 2**31 rows
     p = _make_params(tuple(padded_spatial), C, B, naxis, order, out_spatial,
                      compute_dtype, pad)
-    table2, table_dims = _build_table(x, widths, strides, n_lead,
-                                      batched=batched)
-    assert math.prod(table_dims) == p.rows_per_sample
 
     cc_flat = jnp.stack([m.reshape(n_out).astype(compute_dtype)
                          for m in mapped], axis=-1)
-    acc = _gather_stage(table2, cc_flat, p)
+    acc = _windows_op(x, cc_flat, p, tuple(padded_spatial), batched)
     if inside is not None:
         # constant-mode mask applied outside the custom op so its cotangent
         # flows as a plain elementwise multiply

@@ -103,3 +103,34 @@ def test_poles_match_reference_values():
     np.testing.assert_allclose(spline_poles(3)[0], np.sqrt(3) - 2)
     np.testing.assert_allclose(spline_poles(2)[0], np.sqrt(8) - 3)
     assert len(spline_poles(4)) == 2 and len(spline_poles(5)) == 2
+
+
+@pytest.mark.parametrize("case", [
+    # (padded_spatial, widths, strides, n_lead, C, nbatch, batched)
+    ((20, 20, 24), (4, 4, 8), (1, 1, 5), 0, 1, 3, True),
+    ((20, 20, 24), (4, 4, 8), (1, 1, 5), 0, 2, 1, False),
+    ((36, 40), (4, 32), (1, 29), 0, 1, 2, True),
+    ((36, 40), (8, 16), (4, 12), 0, 3, 1, False),
+    ((18, 24, 28), (8, 16), (4, 12), 1, 1, 2, True),
+    ((140,), (128,), (123,), 0, 1, 1, False),
+])
+def test_fold_v2_matches_reference_fold(case):
+    """The lane-space fold (_fold_table_v2) equals the original per-axis
+    contraction fold on every plan shape."""
+    import jax.numpy as jnp
+    from elasticdeform_tpu.ops import windows as W
+
+    spatial, widths, strides, n_lead, C, nb, batched = case
+    rng = np.random.default_rng(42)
+    nw = len(spatial) - n_lead
+    counts = [(spatial[n_lead + k] - widths[k]) // strides[k] + 1
+              for k in range(nw)]
+    lead = int(np.prod(spatial[:n_lead])) if n_lead else 1
+    rows = nb * lead * int(np.prod(counts))
+    lanes = int(np.prod(widths))
+    ct = jnp.asarray(rng.random((rows, C * lanes)))
+    a = W._fold_table(ct, spatial, widths, strides, n_lead, C, nb, batched)
+    b = W._fold_table_v2(ct, spatial, widths, strides, n_lead, C, nb,
+                         batched)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-12, atol=1e-12)
