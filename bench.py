@@ -29,6 +29,15 @@ import jax.numpy as jnp
 
 ITERS = int(os.environ.get("BENCH_ITERS", "10"))
 
+# small configs need enough queued calls to amortize the per-call dispatch
+# latency of the remote tunnel (~5 ms), else the number measures the RPC
+# path instead of the chip: size iterations so >= ~4 Mvox are timed
+_MIN_TIMED_VOXELS = 4_000_000
+
+
+def _iters(voxels_per_call):
+    return max(ITERS, -(-_MIN_TIMED_VOXELS // voxels_per_call))
+
 # reference C on this machine's CPU (BASELINE_MEASURED.json)
 BASELINES = {
     "c1": 4.039,     # 2D 200x300 order-3 mirror forward, Mvox/s
@@ -41,15 +50,16 @@ BASELINES = {
 RNG = np.random.default_rng(0)
 
 
-def _timeit(step, sync):
-    """Median-free simple timing: warmup (compile), then ITERS timed calls
+def _timeit(step, sync, voxels_per_call=_MIN_TIMED_VOXELS):
+    """Median-free simple timing: warmup (compile), then timed calls
     synchronized once at the end by fetching scalars."""
+    n = _iters(voxels_per_call)
     sync(step())
     t0 = time.perf_counter()
-    for _ in range(ITERS):
+    for _ in range(n):
         out = step()
     sync(out)
-    return (time.perf_counter() - t0) / ITERS
+    return (time.perf_counter() - t0) / n
 
 
 def _sync_scalars(out):
@@ -68,7 +78,7 @@ def bench_c1():
     def fwd(x, d):
         return jnp.sum(ed.deform(x, d, order=3, mode='mirror'))
 
-    dt = _timeit(lambda: fwd(x, d), _sync_scalars)
+    dt = _timeit(lambda: fwd(x, d), _sync_scalars, x.size)
     mvox = x.size / dt / 1e6
     return {"metric": "2D 200x300 order-3 deform forward throughput",
             "value": round(mvox, 2), "unit": "Mvox/s/chip",
@@ -89,7 +99,8 @@ def bench_c2():
                          axis=[(1, 2), (0, 1)], mode='mirror')
         return jnp.sum(a), jnp.sum(b)
 
-    dt = _timeit(lambda: fwd(img, seg, d), _sync_scalars)
+    dt = _timeit(lambda: fwd(img, seg, d), _sync_scalars,
+                 img.size + seg.size)
     mvox = (img.size + seg.size) / dt / 1e6
     return {"metric": "multi-input mixed-order deform forward throughput",
             "value": round(mvox, 2), "unit": "Mvox/s/chip",
@@ -108,7 +119,7 @@ def bench_c3():
     def fwd(x, d):
         return jnp.sum(ed.deform(x, d, order=3, mode='mirror', crop=crop))
 
-    dt = _timeit(lambda: fwd(x, d), _sync_scalars)
+    dt = _timeit(lambda: fwd(x, d), _sync_scalars, 64 ** 3)
     mvox = 64 ** 3 / dt / 1e6  # output voxels, like the CPU baseline
     return {"metric": "3D 128^3 crop-64^3 order-3 deform forward throughput",
             "value": round(mvox, 2), "unit": "Mvox/s/chip",
@@ -131,7 +142,8 @@ def bench_c4():
         loss, gx = jax.value_and_grad(loss_fn)(x)
         return loss, jnp.sum(gx)
 
-    dt = _timeit(lambda: train_step(x, d, target), _sync_scalars)
+    dt = _timeit(lambda: train_step(x, d, target), _sync_scalars,
+                 x.size)
     mvox = x.size / dt / 1e6
     return {"metric": "3D 64^3 order-3 deform fwd+grad train-step throughput",
             "value": round(mvox, 2), "unit": "Mvox/s/chip",
@@ -160,7 +172,8 @@ def bench_c5():
         (gx,) = vjp(gy)
         return jnp.sum(y), jnp.sum(gx)
 
-    dt = _timeit(lambda: fwd_grad(x, d, gy), _sync_scalars)
+    dt = _timeit(lambda: fwd_grad(x, d, gy), _sync_scalars,
+                 batch * size ** 3)
     mvox = batch * size ** 3 / dt / 1e6
     return {"metric": "batched 3D order-3 deform fwd+grad throughput",
             "value": round(mvox, 2), "unit": "Mvox/s/chip",

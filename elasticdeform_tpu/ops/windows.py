@@ -321,7 +321,8 @@ def _build_table_impl(xp, widths, strides, n_lead, batched=False):
     # enough to keep the conv efficient (measured on a single 136^3 table:
     # K=7/slab 19 -> 9.6 ms vs K=1 -> 28.3 ms vs K=19/slab 7 -> 29.4 ms).
     K = 1
-    if batch < 16 and nw >= 2 and counts[0] >= 16:
+    if (batch < 16 and nw >= 2 and counts[0] >= 16
+            and batch * math.prod(counts) * lanes >= (1 << 24)):
         for k in range(min(64 // batch, counts[0] // 8), 1, -1):
             if counts[0] % k == 0 and counts[0] // k >= 8:
                 K = k

@@ -5,13 +5,15 @@ deformed with one random grid, cubic interpolation for the image,
 nearest-neighbour for the labels), batched with per-sample random grids and
 streamed host -> TPU.
 
-Run: python examples/augment_3d_unet.py
+Run (from the repo root): python examples/augment_3d_unet.py
 """
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run without installing
 import elasticdeform_tpu as ed
 from elasticdeform_tpu.parallel import AugmentationPipeline
 
