@@ -8,6 +8,7 @@ from elasticdeform_tpu.parallel.sharding import (
 )
 from elasticdeform_tpu.parallel.spatial import (
     sharded_deform_spatial,
+    sharded_deform_batched_spatial,
     validate_max_displacement,
 )
 from elasticdeform_tpu.parallel.pipeline import AugmentationPipeline
@@ -17,6 +18,7 @@ __all__ = [
     "batched_random_deform",
     "sharded_deform",
     "sharded_deform_spatial",
+    "sharded_deform_batched_spatial",
     "validate_max_displacement",
     "make_augmentation_mesh",
     "AugmentationPipeline",

@@ -130,31 +130,9 @@ def _dense_displacement_offset(disp_f, out_spatial, global_shape, row0, cdt):
     return out
 
 
-def sharded_deform_spatial(mesh: Mesh, x, displacement, *,
-                           max_displacement: float, order: int = 3,
-                           mode: str = 'mirror', cval=0.0,
-                           prefilter: bool = True,
-                           axis_name: str = "shard",
-                           validate: bool = False):
-    """Deform one volume (or a list sharing the deformation) sharded along
-    axis 0 across the mesh.
-
-    Args:
-        mesh: 1-D mesh whose ``axis_name`` axis shards the volume's axis 0.
-        x: (S0, ...) array, or a list of same-shaped arrays (shared
-            deformation, like the reference's multi-input ``deform_grid``);
-            S0 must be divisible by the mesh axis size.
-        displacement: (naxis, *points) control grid (replicated).
-        max_displacement: static bound on |displacement| along axis 0, in
-            voxels — sizes the halo exchange.
-        order/mode/cval/prefilter: as in :func:`elasticdeform_tpu.deform`;
-            all five boundary modes are supported (one shared mode; ``cval``
-            may be a list per input).
-        validate: check ``max_displacement`` against the exact dense field
-            before running (eager calls only; raises on violation).
-
-    Returns the deformed volume(s), sharded like the input.
-    """
+def _spatial_impl(mesh, x, displacement, max_displacement, order, mode,
+                  cval, prefilter, axis_name, validate, batch_axis):
+    batched = batch_axis is not None
     is_list = isinstance(x, (list, tuple))
     xs = [jnp.asarray(a) for a in (x if is_list else [x])]
     cvals = list(cval) if isinstance(cval, (list, tuple)) \
@@ -167,9 +145,10 @@ def sharded_deform_spatial(mesh: Mesh, x, displacement, *,
     mode_code = _modes.mode_to_code(mode)
     wrap = mode_code == _modes.MODE_WRAP
     n = mesh.shape[axis_name]
-    global_shape = tuple(int(d) for d in xs[0].shape)
+    global_shape = tuple(int(d) for d in
+                         (xs[0].shape[1:] if batched else xs[0].shape))
     naxis = len(global_shape)
-    assert displacement.shape[0] == naxis
+    assert displacement.shape[1 if batched else 0] == naxis
     S0 = global_shape[0]
     assert S0 % n == 0, "axis 0 must divide evenly over the mesh"
     s = S0 // n
@@ -187,8 +166,9 @@ def sharded_deform_spatial(mesh: Mesh, x, displacement, *,
             raise ValueError(
                 "validate=True needs a concrete displacement; under jit "
                 "call validate_max_displacement(...) outside the trace")
-        validate_max_displacement(np.asarray(displacement),
-                                  max_displacement, global_shape)
+        disp_np = np.asarray(displacement)
+        for d_s in (disp_np if batched else [disp_np]):
+            validate_max_displacement(d_s, max_displacement, global_shape)
 
     cdt = default_compute_dtype(*( [a.dtype for a in xs]
                                    + [displacement.dtype]))
@@ -265,15 +245,16 @@ def sharded_deform_spatial(mesh: Mesh, x, displacement, *,
         local0 = mapped[0] - row0.astype(cdt) + halo
         coord0 = jnp.clip(local0, 0, slab_len - 1)
         if wrap:
-            # samples whose wrap fold crossed the volume land in the seam
-            # strips appended after the main slab
+            # EVERY wrap-folded sample goes to a seam strip — selected by
+            # the fold condition on the unfolded coordinate, not by slab
+            # bounds: a folded coordinate can land just inside the slab
+            # where its taps would overrun into the slab's edge padding
             L_main = slab_len + 2 * pad + extra0
             L_strip = halo + 2 * pad + extra0
             head_c = L_main + mapped[0]
             tail_c = L_main + L_strip + (mapped[0] - (S0 - halo))
-            coord0 = jnp.where(local0 < 0, head_c,
-                               jnp.where(local0 > slab_len - 1, tail_c,
-                                         coord0))
+            coord0 = jnp.where(cc[0] > S0 - 1, head_c,
+                               jnp.where(cc[0] < 0, tail_c, coord0))
         mapped[0] = coord0
 
         # --- resample the slabs with the window kernel ---
@@ -288,11 +269,78 @@ def sharded_deform_spatial(mesh: Mesh, x, displacement, *,
         return tuple(ys)
 
     from jax import shard_map
-    spec_in = P(axis_name, *([None] * (naxis - 1)))
-    fn = shard_map(local_fn, mesh=mesh,
-                   in_specs=(P(*([None] * (naxis + 1))),)
-                            + (spec_in,) * len(xs),
-                   out_specs=(spec_in,) * len(xs))
+    if batched:
+        # per-sample grids: vmap the single-volume body over the local
+        # batch; the ring ppermute batches through vmap, so one exchange
+        # moves every local sample's halo
+        body = jax.vmap(local_fn)
+        spec_x = P(batch_axis, axis_name, *([None] * (naxis - 1)))
+        spec_d = P(batch_axis, *([None] * (naxis + 1)))
+    else:
+        body = local_fn
+        spec_x = P(axis_name, *([None] * (naxis - 1)))
+        spec_d = P(*([None] * (naxis + 1)))
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(spec_d,) + (spec_x,) * len(xs),
+                   out_specs=(spec_x,) * len(xs))
     outs = fn(jnp.asarray(displacement), *xs)
     outs = [cast_output(o, np.dtype(a.dtype)) for o, a in zip(outs, xs)]
     return list(outs) if is_list else outs[0]
+
+
+def sharded_deform_spatial(mesh: Mesh, x, displacement, *,
+                           max_displacement: float, order: int = 3,
+                           mode: str = 'mirror', cval=0.0,
+                           prefilter: bool = True,
+                           axis_name: str = "shard",
+                           validate: bool = False):
+    """Deform one volume (or a list sharing the deformation) sharded along
+    axis 0 across the mesh.
+
+    Args:
+        mesh: 1-D mesh whose ``axis_name`` axis shards the volume's axis 0.
+        x: (S0, ...) array, or a list of same-shaped arrays (shared
+            deformation, like the reference's multi-input ``deform_grid``);
+            S0 must be divisible by the mesh axis size.
+        displacement: (naxis, *points) control grid (replicated).
+        max_displacement: static bound on |displacement| along axis 0, in
+            voxels — sizes the halo exchange.
+        order/mode/cval/prefilter: as in :func:`elasticdeform_tpu.deform`;
+            all five boundary modes are supported (one shared mode; ``cval``
+            may be a list per input).
+        validate: check ``max_displacement`` against the exact dense field
+            before running (eager calls only; raises on violation).
+
+    Returns the deformed volume(s), sharded like the input.
+    """
+    return _spatial_impl(mesh, x, displacement, max_displacement, order,
+                         mode, cval, prefilter, axis_name, validate, None)
+
+
+def sharded_deform_batched_spatial(mesh: Mesh, x, displacement, *,
+                                   max_displacement: float, order: int = 3,
+                                   mode: str = 'mirror', cval=0.0,
+                                   prefilter: bool = True,
+                                   batch_axis: str = "batch",
+                                   shard_axis: str = "shard",
+                                   validate: bool = False):
+    """Hybrid data-parallel + spatially-sharded deformation over a 2-D mesh.
+
+    The full parallelism matrix for large-volume training: samples are
+    data-parallel over ``batch_axis`` while EACH sample's volume is
+    spatially sharded over ``shard_axis`` with ring halo exchange — the
+    configuration for volumes too large for one chip at batch > 1.
+
+    Args:
+        mesh: 2-D mesh with axes ``batch_axis`` and ``shard_axis``.
+        x: (B, S0, ...) array (or list of same-shaped arrays); B must
+            divide over ``batch_axis``, S0 over ``shard_axis``.
+        displacement: (B, naxis, *points) per-sample control grids.
+        Remaining arguments as in :func:`sharded_deform_spatial`
+        (``validate`` checks every sample's grid).
+
+    Returns the deformed batch, sharded like the input.
+    """
+    return _spatial_impl(mesh, x, displacement, max_displacement, order,
+                         mode, cval, prefilter, shard_axis, validate,
+                         batch_axis)

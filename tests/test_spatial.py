@@ -127,3 +127,70 @@ def test_differentiable():
         ed.deform(x, d, order=3, mode='mirror') ** 2))(X)
     np.testing.assert_allclose(np.asarray(g), np.asarray(ref),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_batched_spatial_hybrid():
+    """2-D mesh: data-parallel batch x spatially-sharded volume, with
+    per-sample displacement grids — matches the batch-parallel path."""
+    from elasticdeform_tpu.parallel import (
+        batched_deform, sharded_deform_batched_spatial,
+    )
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("batch", "shard"))
+    B = 8
+    X = RNG.random((B, 64, 10, 12))
+    D = RNG.standard_normal((B, 3, 3, 3, 3)) * 3
+    ref = batched_deform(X, D, order=3, mode='mirror')
+    out = sharded_deform_batched_spatial(mesh, X, D, max_displacement=8,
+                                         order=3, mode='mirror')
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_batched_spatial_hybrid_wrap_multi():
+    from elasticdeform_tpu.parallel import (
+        batched_deform, sharded_deform_batched_spatial,
+    )
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                ("batch", "shard"))
+    B = 4
+    X = RNG.random((B, 64, 10))
+    Y = RNG.random((B, 64, 10)).astype(np.float32)
+    D = np.clip(RNG.standard_normal((B, 2, 3, 3)) * 5, -8, 8)
+    ref_X = batched_deform(X, D, order=3, mode='wrap')
+    ref_Y = batched_deform(Y, D, order=3, mode='wrap')
+    out_X, out_Y = sharded_deform_batched_spatial(
+        mesh, [X, Y], D, max_displacement=9, order=3, mode='wrap',
+        validate=True)
+    np.testing.assert_allclose(np.asarray(out_X), np.asarray(ref_X),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out_Y), np.asarray(ref_Y),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_batched_spatial_hybrid_gradient():
+    from elasticdeform_tpu.parallel import (
+        batched_deform, sharded_deform_batched_spatial,
+    )
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                ("batch", "shard"))
+    B = 2
+    X = jnp.asarray(RNG.random((B, 96, 8)))
+    D = jnp.asarray(RNG.standard_normal((B, 2, 3, 3)) * 2)
+
+    def loss(x):
+        y = sharded_deform_batched_spatial(mesh, x, D, max_displacement=6,
+                                           order=3, mode='mirror')
+        return jnp.sum(y ** 2)
+
+    g = jax.grad(loss)(X)
+    ref = jax.grad(lambda x: jnp.sum(
+        batched_deform(x, D, order=3, mode='mirror') ** 2))(X)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref),
+                               rtol=1e-6, atol=1e-7)
