@@ -2,10 +2,11 @@
 
 Why: XLA's TPU lowering of arbitrary *element* gathers is a scalar loop
 (measured ~0.1 G elem/s on v5e), while gathers of contiguous *rows* with a
-128-lane minor dimension ride the DMA fast path (measured ~1.4 G rows/s,
-~180 GB/s). The per-voxel ``(order+1)^naxis`` element gathers of the
-straightforward formulation (ops/resample.py) are therefore replaced by ONE
-row gather per output voxel:
+128-lane minor dimension run at ~0.1-1.4 G rows/s (~100 M rows/s sustained
+from multi-GB tables, invariant to index order — a descriptor-rate limit).
+The per-voxel ``(order+1)^naxis`` element gathers of the straightforward
+formulation (ops/resample.py) are therefore replaced by ONE row gather per
+output voxel:
 
 1. **Overlapping window table.** The (mirror-padded) input is expanded into
    a table whose rows are overlapping axis-aligned windows of shape
@@ -15,7 +16,8 @@ row gather per output voxel:
    single window: the window index is ``t_h = i_h // s_h`` and the stencil
    offset ``o_h = i_h mod s_h`` satisfies ``o_h + order <= a_h - 1``.
    The table costs ``prod(a_h / s_h)`` x the input in HBM (e.g. ~26x for 3D
-   order-3) and is built by 128 strided slices — pure streaming writes.
+   order-3) and is built by a one-hot grouped conv (im2col on the MXU) —
+   pure streaming writes.
 
 2. **One row gather per voxel** fetches the 128-lane window containing the
    whole stencil.
