@@ -9,6 +9,7 @@ from elasticdeform_tpu.parallel.sharding import (
 from elasticdeform_tpu.parallel.spatial import (
     sharded_deform_spatial,
     sharded_deform_batched_spatial,
+    sharded_deform_spatial_nd,
     validate_max_displacement,
 )
 from elasticdeform_tpu.parallel.pipeline import AugmentationPipeline
@@ -19,6 +20,7 @@ __all__ = [
     "sharded_deform",
     "sharded_deform_spatial",
     "sharded_deform_batched_spatial",
+    "sharded_deform_spatial_nd",
     "validate_max_displacement",
     "make_augmentation_mesh",
     "AugmentationPipeline",

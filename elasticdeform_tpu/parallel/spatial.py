@@ -90,44 +90,58 @@ def validate_max_displacement(displacement, max_displacement,
     return mx
 
 
-def _dense_displacement_offset(disp_f, out_spatial, global_shape, row0, cdt):
-    """Dense displacement with a *traced* offset along axis 0.
+def _dynamic_weight_matrix(odim, ncp, idim, row0, cdt):
+    """(odim, ncp) order-3 interpolation matrix for a *traced* offset.
 
-    Same math as ops.displacement.dense_displacement, but the axis-0
-    interpolation weights are computed from ``local_row + row0`` (row0 is a
-    traced per-rank scalar), building the (s, ncp) weight matrix on the fly
-    with one-hot scatters instead of a host-precomputed constant.
+    Same math as ops.displacement.displacement_matrix but built on device
+    with one-hot scatters, since ``row0`` (the rank's global offset) is a
+    traced scalar rather than a host constant.
+    """
+    jj = jnp.arange(odim, dtype=cdt) + row0.astype(cdt)
+    cp = (ncp - 1) * jj / (idim - 1)
+    start = filter_start(cp, _DORDER).astype(jnp.int32)
+    taps = spline_weights(cp, _DORDER)
+    W = jnp.zeros((odim, ncp), dtype=cdt)
+    s2 = 2 * ncp - 2
+    for l, w in enumerate(taps):
+        idx = start + l
+        if ncp > 1:
+            m = jnp.mod(idx, s2)
+            idx = jnp.where(m >= ncp, s2 - m, m)
+        else:
+            idx = jnp.zeros_like(idx)
+        W = W + w[:, None] * jax.nn.one_hot(idx, ncp, dtype=cdt)
+    return W
+
+
+def _dense_displacement_offsets(disp_f, out_spatial, global_shape, row0s,
+                                cdt):
+    """Dense displacement with *traced* offsets on the sharded axes.
+
+    ``row0s[h]`` is the rank's traced global offset along axis ``h`` (None
+    for unsharded axes, which use the host-precomputed static matrices).
     """
     naxis = len(out_spatial)
     out = jnp.asarray(disp_f, dtype=cdt)
-    # axis 0: dynamic offset
-    ncp0 = out.shape[1]
-    jj = jnp.arange(out_spatial[0], dtype=cdt) + row0.astype(cdt)
-    cp = (ncp0 - 1) * jj / (global_shape[0] - 1)
-    start = filter_start(cp, _DORDER).astype(jnp.int32)
-    taps = spline_weights(cp, _DORDER)
-    W0 = jnp.zeros((out_spatial[0], ncp0), dtype=cdt)
-    s2 = 2 * ncp0 - 2
-    for l, w in enumerate(taps):
-        idx = start + l
-        if ncp0 > 1:
-            m = jnp.mod(idx, s2)
-            idx = jnp.where(m >= ncp0, s2 - m, m)
+    for h in range(naxis):
+        if row0s[h] is not None:
+            W = _dynamic_weight_matrix(out_spatial[h], out.shape[h + 1],
+                                       global_shape[h], row0s[h], cdt)
         else:
-            idx = jnp.zeros_like(idx)
-        W0 = W0 + w[:, None] * jax.nn.one_hot(idx, ncp0, dtype=cdt)
-    out = jnp.moveaxis(
-        jnp.tensordot(W0, out, axes=[[1], [1]],
-                      precision=jax.lax.Precision.HIGHEST), 0, 1)
-    # remaining axes: static matrices
-    for h in range(1, naxis):
-        W = displacement_matrix(out_spatial[h], out.shape[h + 1],
-                                global_shape[h], 0)
+            W = jnp.asarray(displacement_matrix(
+                out_spatial[h], out.shape[h + 1], global_shape[h], 0),
+                dtype=cdt)
         out = jnp.moveaxis(
-            jnp.tensordot(jnp.asarray(W, dtype=cdt), out,
-                          axes=[[1], [h + 1]],
+            jnp.tensordot(W, out, axes=[[1], [h + 1]],
                           precision=jax.lax.Precision.HIGHEST), 0, h + 1)
     return out
+
+
+def _dense_displacement_offset(disp_f, out_spatial, global_shape, row0, cdt):
+    """Dense displacement with a traced offset along axis 0 only."""
+    row0s = [row0] + [None] * (len(out_spatial) - 1)
+    return _dense_displacement_offsets(disp_f, out_spatial, global_shape,
+                                       row0s, cdt)
 
 
 def _spatial_impl(mesh, x, displacement, max_displacement, order, mode,
@@ -344,3 +358,164 @@ def sharded_deform_batched_spatial(mesh: Mesh, x, displacement, *,
     return _spatial_impl(mesh, x, displacement, max_displacement, order,
                          mode, cval, prefilter, shard_axis, validate,
                          batch_axis)
+
+
+def sharded_deform_spatial_nd(mesh: Mesh, x, displacement, *,
+                              max_displacement: float, order: int = 3,
+                              mode: str = 'mirror', cval=0.0,
+                              prefilter: bool = True,
+                              axis_names=("shard0", "shard1"),
+                              validate: bool = False):
+    """Deform one volume sharded along its first ``len(axis_names)`` axes.
+
+    Multi-axis volume decomposition: volume axis ``k`` is sharded over mesh
+    axis ``axis_names[k]``. Halo exchange runs one bidirectional ring
+    ``ppermute`` per sharded axis, each on the tile already extended by the
+    previous axes' halos — so corner halos arrive without extra
+    communication steps. Boundary modes: mirror / reflect / nearest /
+    constant (their folded coordinates stay near the same global edge);
+    ``wrap`` needs cross-volume seam strips per axis and is only available
+    in the 1-axis :func:`sharded_deform_spatial`.
+
+    Args:
+        mesh: mesh containing every name in ``axis_names``.
+        x: volume (or list of same-shaped volumes sharing the deformation);
+            axis ``k`` must divide over ``axis_names[k]``.
+        displacement: (naxis, *points) control grid (replicated).
+        max_displacement: static bound on |displacement| along EVERY
+            sharded axis — sizes the halos.
+        validate: check the bound against the exact dense field for every
+            sharded component (eager calls only).
+
+    Returns the deformed volume(s), sharded like the input.
+    """
+    mode_code = _modes.mode_to_code(mode)
+    if mode_code == _modes.MODE_WRAP:
+        raise NotImplementedError(
+            "wrap needs cross-volume seam strips per sharded axis; use the "
+            "single-axis sharded_deform_spatial for wrap")
+    is_list = isinstance(x, (list, tuple))
+    xs = [jnp.asarray(a) for a in (x if is_list else [x])]
+    cvals = list(cval) if isinstance(cval, (list, tuple)) \
+        else [cval] * len(xs)
+    assert len(cvals) == len(xs)
+    for a in xs[1:]:
+        assert a.shape == xs[0].shape, \
+            "all inputs must share the (deformed) shape"
+
+    K = len(axis_names)
+    global_shape = tuple(int(d) for d in xs[0].shape)
+    naxis = len(global_shape)
+    assert K <= naxis
+    assert displacement.shape[0] == naxis
+    ns = [mesh.shape[a] for a in axis_names]
+    ss = []
+    halo = int(math.ceil(max_displacement)) + order + 2
+    if prefilter and order > 1:
+        halo += _PREFILTER_HALO[order]
+    for k in range(K):
+        assert global_shape[k] % ns[k] == 0, \
+            f"axis {k} must divide evenly over mesh axis {axis_names[k]}"
+        s_k = global_shape[k] // ns[k]
+        assert halo + 1 <= s_k, (
+            f"halo ({halo}) + 1 must fit in one axis-{k} shard ({s_k}); "
+            "use fewer shards or a smaller max_displacement")
+        ss.append(s_k)
+
+    if validate:
+        if isinstance(displacement, jax.core.Tracer):
+            raise ValueError(
+                "validate=True needs a concrete displacement; under jit "
+                "call validate_max_displacement(...) outside the trace")
+        disp_np = np.asarray(displacement)
+        for k in range(K):
+            # check component k over the full volume (the helper checks
+            # component 0 of what it is given)
+            validate_max_displacement(disp_np[k:k + 1], max_displacement,
+                                      global_shape)
+
+    cdt = default_compute_dtype(*([a.dtype for a in xs]
+                                  + [displacement.dtype]))
+    plan = window_plan(naxis, order)
+    assert plan is not None
+    n_lead, widths, strides = plan
+    pad = pad_amount(order)
+
+    def _prefilter_block(block):
+        if prefilter and order > 1:
+            for d in range(naxis):
+                block = spline_filter1d(block, order, d)
+        return block
+
+    def _window_pad(block):
+        for h in range(naxis):
+            extra = widths[h - n_lead] if h >= n_lead else 0
+            idx = window_pad_indices(block.shape[h], pad, extra)
+            block = jnp.take(block, jnp.asarray(idx), axis=h)
+        return block
+
+    def local_fn(disp, *x_locals):
+        rs = [jax.lax.axis_index(a) for a in axis_names]
+        row0s = [(rs[k] * ss[k]).astype(jnp.int32) for k in range(K)]
+
+        slabs = []
+        for x_local in x_locals:
+            tile = x_local.astype(cdt)
+            # one ring exchange per sharded axis, each on the tile already
+            # extended by the previous axes (corners ride along)
+            for k in range(K):
+                nk = ns[k]
+                fwd = [(i, (i + 1) % nk) for i in range(nk)]
+                bwd = [(i, (i - 1) % nk) for i in range(nk)]
+                t = jnp.moveaxis(tile, k, 0)
+                from_left = jax.lax.ppermute(t[-halo:], axis_names[k], fwd)
+                from_right = jax.lax.ppermute(t[:halo], axis_names[k], bwd)
+                mirror_left = t[1:halo + 1][::-1]
+                mirror_right = t[-halo - 1:-1][::-1]
+                left = jnp.where(rs[k] == 0, mirror_left, from_left)
+                right = jnp.where(rs[k] == nk - 1, mirror_right, from_right)
+                tile = jnp.moveaxis(jnp.concatenate([left, t, right], axis=0),
+                                    0, k)
+            slabs.append(_window_pad(_prefilter_block(tile)[..., None]))
+        disp_f = _prefilter_displacement(disp, cdt)
+
+        out_spatial = tuple(ss) + global_shape[K:]
+        row0s_full = row0s + [None] * (naxis - K)
+        displ = _dense_displacement_offsets(disp_f, out_spatial,
+                                            global_shape, row0s_full, cdt)
+
+        coords = [jax.lax.broadcasted_iota(cdt, out_spatial, h)
+                  for h in range(naxis)]
+        cc = [coords[h] + displ[h] for h in range(naxis)]
+        for k in range(K):
+            cc[k] = cc[k] + row0s[k].astype(cdt)
+        mapped = []
+        inside = None
+        for h in range(naxis):
+            m, ins = _modes.map_coordinate(cc[h], global_shape[h], mode_code)
+            mapped.append(m)
+            if mode_code == _modes.MODE_CONSTANT:
+                inside = ins if inside is None else inside & ins
+        for k in range(K):
+            local_k = mapped[k] - row0s[k].astype(cdt) + halo
+            mapped[k] = jnp.clip(local_k, 0, ss[k] + 2 * halo - 1)
+
+        ys = []
+        for xp, cv in zip(slabs, cvals):
+            y = resample_windows(xp, mapped, inside, order, out_spatial,
+                                 cdt, pad)[..., 0]
+            if inside is not None:
+                y = y + jnp.where(inside, jnp.zeros((), cdt),
+                                  jnp.asarray(cv, cdt))
+            ys.append(y)
+        return tuple(ys)
+
+    from jax import shard_map
+    spec_x = P(*axis_names, *([None] * (naxis - K)))
+    spec_d = P(*([None] * (naxis + 1)))
+    fn = shard_map(local_fn, mesh=mesh,
+                   in_specs=(spec_d,) + (spec_x,) * len(xs),
+                   out_specs=(spec_x,) * len(xs))
+    outs = fn(jnp.asarray(displacement), *xs)
+    outs = [cast_output(o, np.dtype(a.dtype)) for o, a in zip(outs, xs)]
+    return list(outs) if is_list else outs[0]

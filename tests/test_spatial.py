@@ -194,3 +194,46 @@ def test_batched_spatial_hybrid_gradient():
         batched_deform(x, D, order=3, mode='mirror') ** 2))(X)
     np.testing.assert_allclose(np.asarray(g), np.asarray(ref),
                                rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("mode", ["mirror", "constant", "nearest"])
+def test_spatial_nd_2axis(mode):
+    """Volume sharded along TWO axes over a 2-D mesh (corner halos via
+    sequential per-axis exchanges) vs the single-device path."""
+    from elasticdeform_tpu.parallel import sharded_deform_spatial_nd
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                ("shard0", "shard1"))
+    X = RNG.random((64, 64, 10))
+    d = RNG.standard_normal((3, 3, 3, 3)) * 4
+    ref = ed.deform_grid(X, d, order=3, mode=mode, cval=1.5)
+    out = sharded_deform_spatial_nd(mesh, X, d, max_displacement=8,
+                                    order=3, mode=mode, cval=1.5)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-7)
+
+
+def test_spatial_nd_gradient_multi():
+    from elasticdeform_tpu.parallel import sharded_deform_spatial_nd
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                ("shard0", "shard1"))
+    X = jnp.asarray(RNG.random((64, 64)))
+    d = jnp.asarray(RNG.standard_normal((2, 3, 3)) * 2)
+
+    def loss(x):
+        y = sharded_deform_spatial_nd(mesh, x, d, max_displacement=4,
+                                      order=3, mode='mirror')
+        return jnp.sum(y ** 2)
+
+    g = jax.grad(loss)(X)
+    ref = jax.grad(lambda x: jnp.sum(
+        ed.deform(x, d, order=3, mode='mirror') ** 2))(X)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref),
+                               rtol=1e-6, atol=1e-7)
+
+    # wrap is documented as 1-axis only
+    with pytest.raises(NotImplementedError):
+        sharded_deform_spatial_nd(mesh, np.asarray(X), np.asarray(d),
+                                  max_displacement=4, mode='wrap')
