@@ -43,7 +43,7 @@ from elasticdeform_tpu.ops.resample import (
     resample_linear, cast_output, cast_int_c, pad_amount,
 )
 from elasticdeform_tpu.ops.windows import (
-    window_plan, window_pad_indices, resample_windows,
+    window_plan, window_pad_axis, window_unpad_axis, resample_windows,
     resample_windows_transpose,
 )
 
@@ -202,8 +202,7 @@ def _deform_one_linear(xt, cc, ispec: InputSpec, spec: DeformSpec, cdt,
         xp = xf
         for h in range(naxis):
             extra = widths[h - n_lead] if h >= n_lead else 0
-            idx = window_pad_indices(xf.shape[h], pad, extra)
-            xp = jnp.take(xp, jnp.asarray(idx), axis=h)
+            xp = window_pad_axis(xp, h, pad, extra)
         y = resample_windows(xp, mapped, inside, ispec.order,
                              spec.out_spatial, cdt, pad)
     return y, inside
@@ -240,8 +239,7 @@ def _deform_one_linear_batched(xt, cc, ispec: InputSpec, spec: DeformSpec,
     xp = xf
     for h in range(naxis):
         extra = widths[h - n_lead] if h >= n_lead else 0
-        idx = window_pad_indices(xf.shape[h + 1], pad, extra)
-        xp = jnp.take(xp, jnp.asarray(idx), axis=h + 1)
+        xp = window_pad_axis(xp, h + 1, pad, extra)
     y = resample_windows(xp, mapped, inside, ispec.order, spec.out_spatial,
                          cdt, pad, batched=True)
     return y, inside
@@ -331,17 +329,13 @@ def deform_apply_batched(xs, displacement, affine, spec: DeformSpec):
 
 def _window_unpad_transpose(d_xp, unpadded_spatial, pad, widths, n_lead):
     """Adjoint of the per-axis window padding: fold the padded-volume
-    cotangent back onto the original extent (a static segment-sum per axis,
-    reversing the ``jnp.take`` of :func:`window_pad_indices`)."""
+    cotangent back onto the original extent (static slice-adds per axis,
+    reversing :func:`window_pad_axis`)."""
     naxis = len(unpadded_spatial)
     out = d_xp
     for h in range(naxis - 1, -1, -1):
-        n_h = unpadded_spatial[h]
         extra = widths[h - n_lead] if h >= n_lead else 0
-        idx = jnp.asarray(window_pad_indices(n_h, pad, extra))
-        moved = jnp.moveaxis(out, h, 0)
-        summed = jax.ops.segment_sum(moved, idx, num_segments=n_h)
-        out = jnp.moveaxis(summed, 0, h)
+        out = window_unpad_axis(out, h, unpadded_spatial[h], pad, extra)
     return out
 
 

@@ -96,6 +96,69 @@ _CONV_SPECS = {
     3: ("NDHWC", "DHWIO", "NDHWC"),
 }
 
+# The one-hot contractions need exact f32 products, which XLA's HIGHEST
+# precision provides as SIX bf16 MXU passes. Because a 0/1 matrix is
+# exactly representable in bf16, the same result needs only THREE for the
+# table-build conv: split x = hi + mid + lo into bf16 parts
+# (each remainder is exact in f32 and the final remainder fits bf16's
+# 8-bit mantissa for normal-range data), contract each part at DEFAULT
+# precision with f32 accumulation, and sum — per output element the three
+# partial picks add back to x exactly (the pairwise f32 sums are exact
+# because x itself is f32-representable). Verified bit-identical on random
+# f32; the only divergence is at f32-subnormal residuals (~1e-45 absolute)
+# and |x| > bf16_max/2 ~ 1.7e38 — set ELASTICDEFORM_TPU_ONEHOT_BF16X3=0 to
+# fall back to HIGHEST, or =1 to force it on CPU too (where bf16 is
+# emulated and the trick only helps for differential testing).
+_BF16X3 = os.environ.get("ELASTICDEFORM_TPU_ONEHOT_BF16X3", "auto")
+
+
+@functools.lru_cache(maxsize=1)
+def _default_platform():
+    return jax.devices()[0].platform
+
+
+def _use_bf16x3(dtype) -> bool:
+    if dtype != jnp.float32 or _BF16X3 == "0":
+        return False
+    return _BF16X3 == "1" or _default_platform() != "cpu"
+
+
+# Opt-in: run the backward FOLD contractions (gradient-only path) with the
+# BF16_BF16_F32_X3 dot algorithm — 3 MXU passes instead of HIGHEST's 6 at
+# ~2^-17 relative error on the input-gradient (the forward/parity path is
+# unaffected). Off by default pending gradient-parity measurements.
+_FOLD_X3 = os.environ.get("ELASTICDEFORM_TPU_FOLD_X3", "0") == "1"
+
+
+def _fold_precision(dtype):
+    if _FOLD_X3 and dtype == jnp.float32 and _default_platform() != "cpu":
+        return jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3
+    return jax.lax.Precision.HIGHEST
+
+
+def _split_bf16x3(x):
+    """Split f32 ``x`` into three bf16 parts with ``hi+mid+lo == x``."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    r2 = r1 - mid.astype(jnp.float32)
+    return hi, mid, r2.astype(jnp.bfloat16)
+
+
+def _onehot_contract(x, M, axes_x, axes_m):
+    """``tensordot(x, M)`` where ``M`` is a one-hot (0/1) matrix.
+
+    Contracts at HIGHEST precision (or the X3 algorithm when _FOLD_X3 is
+    on). A materialized bf16x3 split of ``x`` was measured SLOWER here than
+    HIGHEST's in-pipeline 6 bf16 passes — the fold's big operand is the one
+    being split, and the three part arrays cost more HBM traffic than the
+    extra MXU passes. The split only wins in :func:`_build_table_impl`,
+    whose output dwarfs its input.
+    """
+    return jnp.tensordot(x, jnp.asarray(M, x.dtype),
+                         axes=[axes_x, axes_m],
+                         precision=_fold_precision(x.dtype))
+
 
 @functools.lru_cache(maxsize=None)
 def _patch_kernel(widths, channels, dtype_name):
@@ -165,17 +228,17 @@ def _zfold_apply(z2, T_z, widths, stride, P_z, dtn):
     nbands = -(-P_z // W)
     ratio = (nbands * nt * W) / (T_z * P_z)
     if ratio >= 0.7 or nbands <= 1:
-        Fz = jnp.asarray(_zfold_matrix(T_z, tuple(widths), stride, P_z, dtn))
-        return jnp.dot(z2, Fz, precision=jax.lax.Precision.HIGHEST), P_z
+        Fz = _zfold_matrix(T_z, tuple(widths), stride, P_z, dtn)
+        return _onehot_contract(z2, Fz, [1], [0]), P_z
     outs = []
     for c in range(nbands):
         t_lo = max(0, min(T_z - nt, -(-(c * W - (a_z - 1)) // stride)))
         delta = c * W - t_lo * stride
         p_cap = P_z - c * W
         Mb = jnp.asarray(_zfold_band_matrix(
-            nt, tuple(widths), stride, W, delta, p_cap, dtn))
+            nt, tuple(widths), stride, W, delta, p_cap, dtn), z2.dtype)
         part = jnp.dot(z2[:, t_lo * lanes:(t_lo + nt) * lanes], Mb,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=_fold_precision(z2.dtype))
         outs.append(part.reshape(-1, a_rest, W))
     z = jnp.concatenate(outs, axis=-1)[..., :P_z]
     return z.reshape(z2.shape[0], a_rest * P_z), P_z
@@ -239,10 +302,9 @@ def _fold_table_v2(ct, spatial, widths, strides, n_lead, channels, nbatch,
     # at step k dims are [BL, T_k..T_{nw-2}, C, a_k..a_{nw-2}, P_z,
     # P_0..P_{k-1}]; count axis is 1, width axis is (nw-1-k) + 2
     for k in range(nw - 1):
-        A = jnp.asarray(_fold_matrix(spatial[n_lead + k], counts[k],
-                                     widths[k], strides[k], dt))
-        z = jnp.tensordot(z, A, axes=[[1, nw - 1 - k + 2], [1, 2]],
-                          precision=jax.lax.Precision.HIGHEST)
+        A = _fold_matrix(spatial[n_lead + k], counts[k],
+                         widths[k], strides[k], dt)
+        z = _onehot_contract(z, A, [1, nw - 1 - k + 2], [1, 2])
     # z: (BL, C, P_z, P_{n_lead}..P_{naxis-2}) -> (B?, *spatial, C)
     z = jnp.moveaxis(z, 1, -1)            # channels last
     z = jnp.moveaxis(z, 1, naxis - n_lead)  # P_z to its spatial slot
@@ -273,10 +335,9 @@ def _fold_table(ct, spatial, widths, strides, n_lead, channels, nbatch,
     # count axis is 1 and the width axis is nw-k+2; tensordot appends the
     # new P axis at the end
     for k in range(nw):
-        A = jnp.asarray(_fold_matrix(spatial[n_lead + k], counts[k],
-                                     widths[k], strides[k], dt))
-        z = jnp.tensordot(z, A, axes=[[1, nw - k + 2], [1, 2]],
-                          precision=jax.lax.Precision.HIGHEST)
+        A = _fold_matrix(spatial[n_lead + k], counts[k],
+                         widths[k], strides[k], dt)
+        z = _onehot_contract(z, A, [1, nw - k + 2], [1, 2])
     # z: (BL, C, P_{n_lead}..P_{naxis-1}) -> (B?, *spatial, C)
     z = jnp.moveaxis(z, 1, -1)
     if batched:
@@ -342,14 +403,24 @@ def _build_table_impl(xp, widths, strides, n_lead, batched=False):
     else:
         conv_counts = counts
 
-    kernel = jnp.asarray(_patch_kernel(tuple(widths), C, xp.dtype.name))
+    kernel_np = _patch_kernel(tuple(widths), C, xp.dtype.name)
+    if _use_bf16x3(xin.dtype):
+        # exact f32 in 3 bf16 MXU passes instead of HIGHEST's 6: the
+        # hi/mid/lo parts become 3 input channels per group and the one-hot
+        # kernel is replicated over them (see _BF16X3 above)
+        parts = _split_bf16x3(xin)
+        xin = jnp.stack(parts, axis=-1).reshape(*xin.shape[:-1], C * 3)
+        kernel = jnp.asarray(np.repeat(kernel_np, 3, axis=-2), jnp.bfloat16)
+        conv_kw = dict(preferred_element_type=jnp.float32)
+    else:
+        # one-hot kernel => products are x*1; HIGHEST keeps them exact
+        kernel = jnp.asarray(kernel_np)
+        conv_kw = dict(precision=jax.lax.Precision.HIGHEST)
     dn = jax.lax.conv_dimension_numbers(xin.shape, kernel.shape,
                                         _CONV_SPECS[nw])
-    # one-hot kernel => products are x*1; HIGHEST keeps them exact in f32
     out = jax.lax.conv_general_dilated(
         xin, kernel, window_strides=tuple(strides), padding="VALID",
-        dimension_numbers=dn, feature_group_count=C,
-        precision=jax.lax.Precision.HIGHEST)
+        dimension_numbers=dn, feature_group_count=C, **conv_kw)
     assert out.shape[1:-1] == tuple(conv_counts), (out.shape, conv_counts)
     # slab rows are (batch, K, t0_slab, T1..) = (batch, T0, T1..) row-major
     n_rows = batch * math.prod(counts)
@@ -622,6 +693,11 @@ def _windows_op_bwd(p, padded_spatial, batched, res, g):
 
     d_xp = _scatter_fold(g, cc_flat, p, padded_spatial, batched)
 
+    if os.environ.get("ELASTICDEFORM_TPU_SKIP_DCC", "0") == "1":
+        # measurement-only escape hatch: skip the displacement-gradient
+        # branch to quantify how much of it XLA fails to dead-code-eliminate
+        return (d_xp, jnp.zeros_like(cc_flat))
+
     # --- d_cc: forward-mode through the weight polynomials on a recomputed
     # table (rebuild ~43 ms vs keeping a multi-GB residual; XLA eliminates
     # all of it when the caller does not use displacement gradients) ---
@@ -776,3 +852,69 @@ def window_pad_indices(length: int, pad: int, extra_right: int) -> np.ndarray:
     idx = mirror_index_np(core, length)
     tail = np.full((extra_right,), length - 1, dtype=np.int64)
     return np.concatenate([idx, tail])
+
+
+def window_pad_axis(x, axis: int, pad: int, extra_right: int):
+    """Mirror-pad + right extension along ``axis`` (same content as indexing
+    with :func:`window_pad_indices`).
+
+    Expressed as reversed edge slices + concat + a broadcast tail instead of
+    one ``jnp.take``: numerically identical, but its XLA *transpose* is pure
+    slice-adds — ``take``'s transpose is a scatter-add, which costs tens of
+    ms on multi-GB cotangents in the backward pass.
+    """
+    length = x.shape[axis]
+    if length <= pad + 1:
+        # multi-fold mirror (tiny axes): keep the general gather
+        idx = window_pad_indices(length, pad, extra_right)
+        return jnp.take(x, jnp.asarray(idx), axis=axis)
+    parts = []
+    if pad:
+        parts.append(jax.lax.rev(
+            jax.lax.slice_in_dim(x, 1, pad + 1, axis=axis), (axis,)))
+    parts.append(x)
+    if pad:
+        parts.append(jax.lax.rev(
+            jax.lax.slice_in_dim(x, length - pad - 1, length - 1, axis=axis),
+            (axis,)))
+    if extra_right:
+        last = jax.lax.slice_in_dim(x, length - 1, length, axis=axis)
+        shape = list(last.shape)
+        shape[axis] = extra_right
+        parts.append(jnp.broadcast_to(last, shape))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=axis)
+
+
+def window_unpad_axis(d, axis: int, length: int, pad: int, extra_right: int):
+    """Exact transpose of :func:`window_pad_axis` along ``axis``.
+
+    Overlap-adds the pad regions back onto the core extent with static
+    pads + adds (no scatter), mirroring the slice structure of the forward.
+    """
+    if length <= pad + 1:
+        idx = jnp.asarray(window_pad_indices(length, pad, extra_right))
+        moved = jnp.moveaxis(d, axis, 0)
+        summed = jax.ops.segment_sum(moved, idx, num_segments=length)
+        return jnp.moveaxis(summed, 0, axis)
+    ndim = d.ndim
+    out = jax.lax.slice_in_dim(d, pad, pad + length, axis=axis)
+
+    def _pad_to(seg, lo):
+        cfg = [(0, 0, 0)] * ndim
+        cfg[axis] = (lo, length - lo - seg.shape[axis], 0)
+        return jax.lax.pad(seg, jnp.zeros((), seg.dtype), cfg)
+
+    if pad:
+        left = jax.lax.rev(jax.lax.slice_in_dim(d, 0, pad, axis=axis),
+                           (axis,))
+        out = out + _pad_to(left, 1)
+        right = jax.lax.rev(
+            jax.lax.slice_in_dim(d, pad + length, 2 * pad + length,
+                                 axis=axis), (axis,))
+        out = out + _pad_to(right, length - pad - 1)
+    if extra_right:
+        tail = jnp.sum(jax.lax.slice_in_dim(
+            d, 2 * pad + length, 2 * pad + length + extra_right, axis=axis),
+            axis=axis, keepdims=True)
+        out = out + _pad_to(tail, length - 1)
+    return out

@@ -55,7 +55,7 @@ from elasticdeform_tpu.ops.displacement import (
 from elasticdeform_tpu.ops.prefilter import spline_filter1d
 from elasticdeform_tpu.ops.resample import pad_amount, cast_output
 from elasticdeform_tpu.ops.windows import (
-    window_plan, window_pad_indices, resample_windows,
+    window_plan, window_pad_axis, resample_windows,
 )
 
 _DORDER = 3
@@ -202,8 +202,7 @@ def _spatial_impl(mesh, x, displacement, max_displacement, order, mode,
         """Mirror + window padding on every axis (block: (*spatial, 1))."""
         for h in range(naxis):
             extra = widths[h - n_lead] if h >= n_lead else 0
-            idx = window_pad_indices(block.shape[h], pad, extra)
-            block = jnp.take(block, jnp.asarray(idx), axis=h)
+            block = window_pad_axis(block, h, pad, extra)
         return block
 
     def local_fn(disp, *x_locals):
@@ -372,10 +371,12 @@ def sharded_deform_spatial_nd(mesh: Mesh, x, displacement, *,
     axis ``axis_names[k]``. Halo exchange runs one bidirectional ring
     ``ppermute`` per sharded axis, each on the tile already extended by the
     previous axes' halos — so corner halos arrive without extra
-    communication steps. Boundary modes: mirror / reflect / nearest /
-    constant (their folded coordinates stay near the same global edge);
-    ``wrap`` needs cross-volume seam strips per axis and is only available
-    in the 1-axis :func:`sharded_deform_spatial`.
+    communication steps. All five boundary modes are supported;
+    ``wrap`` concatenates per-axis cross-volume seam strips (head/tail of
+    each sharded axis) that ride the same ring exchanges, with corner seam
+    blocks arriving by two-hop relay — each of the ``3^K`` blocks is
+    prefiltered and window-padded separately so the IIR never leaks across
+    unrelated content.
 
     Args:
         mesh: mesh containing every name in ``axis_names``.
@@ -390,10 +391,7 @@ def sharded_deform_spatial_nd(mesh: Mesh, x, displacement, *,
     Returns the deformed volume(s), sharded like the input.
     """
     mode_code = _modes.mode_to_code(mode)
-    if mode_code == _modes.MODE_WRAP:
-        raise NotImplementedError(
-            "wrap needs cross-volume seam strips per sharded axis; use the "
-            "single-axis sharded_deform_spatial for wrap")
+    wrap = mode_code == _modes.MODE_WRAP
     is_list = isinstance(x, (list, tuple))
     xs = [jnp.asarray(a) for a in (x if is_list else [x])]
     cvals = list(cval) if isinstance(cval, (list, tuple)) \
@@ -450,8 +448,7 @@ def sharded_deform_spatial_nd(mesh: Mesh, x, displacement, *,
     def _window_pad(block):
         for h in range(naxis):
             extra = widths[h - n_lead] if h >= n_lead else 0
-            idx = window_pad_indices(block.shape[h], pad, extra)
-            block = jnp.take(block, jnp.asarray(idx), axis=h)
+            block = window_pad_axis(block, h, pad, extra)
         return block
 
     def local_fn(disp, *x_locals):
@@ -462,7 +459,14 @@ def sharded_deform_spatial_nd(mesh: Mesh, x, displacement, *,
         for x_local in x_locals:
             tile = x_local.astype(cdt)
             # one ring exchange per sharded axis, each on the tile already
-            # extended by the previous axes (corners ride along)
+            # extended by the previous axes (corners ride along). For wrap,
+            # each step also appends the volume's head/tail seam strips
+            # along that axis: they arrive on the exchange itself (the ring
+            # delivers rank 0's head to the last rank and the tail to rank
+            # 0 — elsewhere the strip content is unused), and because later
+            # steps concatenate BEFORE slicing, earlier axes' strips pick
+            # up later axes' halos and strips — corner seam blocks arrive
+            # by two-hop relay without extra collectives.
             for k in range(K):
                 nk = ns[k]
                 fwd = [(i, (i + 1) % nk) for i in range(nk)]
@@ -474,9 +478,30 @@ def sharded_deform_spatial_nd(mesh: Mesh, x, displacement, *,
                 mirror_right = t[-halo - 1:-1][::-1]
                 left = jnp.where(rs[k] == 0, mirror_left, from_left)
                 right = jnp.where(rs[k] == nk - 1, mirror_right, from_right)
-                tile = jnp.moveaxis(jnp.concatenate([left, t, right], axis=0),
-                                    0, k)
-            slabs.append(_window_pad(_prefilter_block(tile)[..., None]))
+                parts = [left, t, right]
+                if wrap:
+                    parts += [from_right, from_left]  # head, tail strips
+                tile = jnp.moveaxis(jnp.concatenate(parts, axis=0), 0, k)
+            if not wrap:
+                slabs.append(_window_pad(_prefilter_block(tile)[..., None]))
+                continue
+            # wrap: the sharded axes now carry the raw layout
+            # [left|main|right|head|tail]; prefilter + window-pad each of
+            # the 3^K seam blocks SEPARATELY (the IIR must not leak across
+            # unrelated blocks) and reassemble the padded block grid
+            ranges = [[(0, ss[k] + 2 * halo),
+                       (ss[k] + 2 * halo, ss[k] + 3 * halo),
+                       (ss[k] + 3 * halo, ss[k] + 4 * halo)]
+                      for k in range(K)]
+
+            def build(k, slicer):
+                if k == K:
+                    blk = tile[tuple(slicer)]
+                    return _window_pad(_prefilter_block(blk)[..., None])
+                return jnp.concatenate(
+                    [build(k + 1, slicer + [slice(a, b)])
+                     for a, b in ranges[k]], axis=k)
+            slabs.append(build(0, []))
         disp_f = _prefilter_displacement(disp, cdt)
 
         out_spatial = tuple(ss) + global_shape[K:]
@@ -498,7 +523,20 @@ def sharded_deform_spatial_nd(mesh: Mesh, x, displacement, *,
                 inside = ins if inside is None else inside & ins
         for k in range(K):
             local_k = mapped[k] - row0s[k].astype(cdt) + halo
-            mapped[k] = jnp.clip(local_k, 0, ss[k] + 2 * halo - 1)
+            coord_k = jnp.clip(local_k, 0, ss[k] + 2 * halo - 1)
+            if wrap:
+                # route wrap-folded samples to the seam blocks — selected
+                # by the fold condition on the unfolded coordinate (see the
+                # single-axis version for why slab bounds don't work)
+                extra_k = widths[k - n_lead] if k >= n_lead else 0
+                L_main = ss[k] + 2 * halo + 2 * pad + extra_k
+                L_strip = halo + 2 * pad + extra_k
+                head_c = L_main + mapped[k]
+                tail_c = L_main + L_strip + (mapped[k]
+                                             - (global_shape[k] - halo))
+                coord_k = jnp.where(cc[k] > global_shape[k] - 1, head_c,
+                                    jnp.where(cc[k] < 0, tail_c, coord_k))
+            mapped[k] = coord_k
 
         ys = []
         for xp, cv in zip(slabs, cvals):

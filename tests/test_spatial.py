@@ -196,7 +196,7 @@ def test_batched_spatial_hybrid_gradient():
                                rtol=1e-6, atol=1e-7)
 
 
-@pytest.mark.parametrize("mode", ["mirror", "constant", "nearest"])
+@pytest.mark.parametrize("mode", ALL_MODES)
 def test_spatial_nd_2axis(mode):
     """Volume sharded along TWO axes over a 2-D mesh (corner halos via
     sequential per-axis exchanges) vs the single-device path."""
@@ -233,7 +233,24 @@ def test_spatial_nd_gradient_multi():
     np.testing.assert_allclose(np.asarray(g), np.asarray(ref),
                                rtol=1e-6, atol=1e-7)
 
-    # wrap is documented as 1-axis only
-    with pytest.raises(NotImplementedError):
-        sharded_deform_spatial_nd(mesh, np.asarray(X), np.asarray(d),
-                                  max_displacement=4, mode='wrap')
+
+def test_spatial_nd_wrap_corner_folding():
+    """Multi-axis wrap with displacements large enough that edge voxels
+    fold across the volume on one axis and on BOTH axes (corner seam
+    blocks arriving by two-hop relay)."""
+    from elasticdeform_tpu.parallel import sharded_deform_spatial_nd
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                ("shard0", "shard1"))
+    X = RNG.random((64, 64, 10))
+    # bias the grid so corner voxels genuinely fold on both axes at once
+    d = np.clip(RNG.standard_normal((3, 3, 3, 3)) * 5, -9, 9)
+    d[0, 0, 0] = -9.0
+    d[1, 0, 0] = -9.0
+    d[0, -1, -1] = 9.0
+    d[1, -1, -1] = 9.0
+    ref = ed.deform_grid(X, d, order=3, mode='wrap')
+    out = sharded_deform_spatial_nd(mesh, X, d, max_displacement=10,
+                                    order=3, mode='wrap')
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-7)

@@ -134,3 +134,33 @@ def test_fold_v2_matches_reference_fold(case):
                          batched)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_onehot_bf16x3_matches_highest(monkeypatch):
+    """The 3-pass bf16 split of the one-hot contractions (table build,
+    z-fold, per-axis folds) reproduces the HIGHEST-precision f32 results:
+    the table bit-exactly, the overlap-add folds to a few f32 ulps."""
+    import jax.numpy as jnp
+    from elasticdeform_tpu.ops import windows as W
+
+    rng = np.random.default_rng(7)
+    padded = (20, 21, 22)
+    p = W._make_params(padded, 2, 3, 3, 3, (12, 12, 12), "float32", 2)
+    xp = jnp.asarray(rng.standard_normal((3, *padded, 2)).astype(np.float32))
+    cc = jnp.asarray((rng.random((3 * 12 ** 3, 3)) * 11).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((3 * 12 ** 3, 2)).astype(np.float32))
+
+    results = {}
+    for flag in ("1", "0"):
+        monkeypatch.setattr(W, "_BF16X3", flag)
+        table, _ = W._build_table_impl(xp, p.widths, p.strides, p.n_lead,
+                                       True)
+        out = W._windows_op(xp, cc, p, padded, True)
+        dxp = W._scatter_fold(g, cc, p, padded, True)
+        results[flag] = (np.asarray(table), np.asarray(out), np.asarray(dxp))
+
+    t1, o1, d1 = results["1"]
+    t0, o0, d0 = results["0"]
+    np.testing.assert_array_equal(t1, t0)  # one pick per output: bit-exact
+    np.testing.assert_allclose(o1, o0, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(d1, d0, rtol=1e-5, atol=1e-5)

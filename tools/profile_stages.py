@@ -74,6 +74,72 @@ def main(batch=64, size=64, order=3):
         return x
     print(f"transpose pf: {timeit(jax.jit(tpf), xp)*1e3:7.1f} ms")
 
+    # --- the "other" stages of the real pipeline ---
+    from elasticdeform_tpu.ops.prefilter import spline_filter1d
+    from elasticdeform_tpu.ops.displacement import dense_displacement
+    from elasticdeform_tpu.ops import modes as modes_mod
+
+    xv = jnp.asarray(rng.random((batch, size, size, size), dtype=np.float32))
+    disp_f = jnp.asarray(rng.standard_normal((batch, 3, 3, 3, 3))
+                         .astype(np.float32))
+
+    def fpf(x):
+        for d in range(1, 4):
+            x = spline_filter1d(x, order, d)
+        return x
+    print(f"forward pf  : {timeit(jax.jit(fpf), xv)*1e3:7.1f} ms")
+
+    def dd(df):
+        return jax.vmap(lambda d: dense_displacement(
+            d, (size,) * 3, (size,) * 3, (0, 0, 0), jnp.float32))(df)
+    displ = dd(disp_f)
+    print(f"dense displ : {timeit(jax.jit(dd), disp_f)*1e3:7.1f} ms")
+
+    def mapping(displ):
+        out_spatial = (size,) * 3
+        ccs = []
+        for h in range(3):
+            co = jax.lax.broadcasted_iota(jnp.float32,
+                                          (batch,) + out_spatial, h + 1)
+            m, _ = modes_mod.map_coordinate(co + displ[:, h], size, 3)
+            ccs.append(m.reshape(batch * size ** 3))
+        return jnp.stack(ccs, axis=-1)
+    print(f"coord map   : {timeit(jax.jit(mapping), displ)*1e3:7.1f} ms")
+
+    def wpad(x):
+        for h in range(1, 4):
+            ind = jnp.asarray(W.window_pad_indices(size, pad,
+                                                   (4, 4, 8)[h - 1]))
+            x = jnp.take(x, ind, axis=h)
+        return x
+    print(f"window pad  : {timeit(jax.jit(wpad), xv)*1e3:7.1f} ms")
+
+    # --- the actual headline pair, end to end ---
+    from elasticdeform_tpu.parallel.sharding import batched_deform
+    dgrid = jnp.asarray(rng.standard_normal((batch, 3, 3, 3, 3))
+                        .astype(np.float32) * 15)
+    gy = jnp.asarray(rng.random((batch, size, size, size), dtype=np.float32))
+
+    @jax.jit
+    def pair(x, d, gy):
+        y, vjp = jax.vjp(
+            lambda x_: batched_deform(x_, d, order=order, mode='mirror'), x)
+        (gx,) = vjp(gy)
+        return jnp.sum(y), jnp.sum(gx)
+
+    def psync(out):
+        for s_ in out:
+            float(s_)
+    outp = pair(xv, dgrid, gy)
+    psync(outp)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        outp = pair(xv, dgrid, gy)
+    psync(outp)
+    dt = (time.perf_counter() - t0) / 5
+    n_out = batch * size ** 3
+    print(f"FULL PAIR   : {dt*1e3:7.1f} ms ({n_out/dt/1e6:.1f} Mvox/s)")
+
 
 if __name__ == "__main__":
     args = [int(a) for a in sys.argv[1:3]]
