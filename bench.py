@@ -214,13 +214,17 @@ def main(argv):
         print_readme_table()
     elif "--all" in argv:
         names = [a for a in argv if a in CONFIGS] or list(CONFIGS)
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_results.json")
         results = {}
+        if os.path.exists(path):  # partial runs update, not clobber
+            with open(path) as f:
+                results = json.load(f)
         for name in names:
             results[name] = CONFIGS[name]()
             print(json.dumps({"config": name, **results[name]}),
                   flush=True)
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_results.json"), "w") as f:
+        with open(path, "w") as f:
             json.dump(results, f, indent=2)
     elif any(a in CONFIGS for a in argv):
         for name in (a for a in argv if a in CONFIGS):

@@ -137,12 +137,23 @@ def _fold_precision(dtype):
 
 
 def _split_bf16x3(x):
-    """Split f32 ``x`` into three bf16 parts with ``hi+mid+lo == x``."""
-    hi = x.astype(jnp.bfloat16)
-    r1 = x - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    r2 = r1 - mid.astype(jnp.float32)
-    return hi, mid, r2.astype(jnp.bfloat16)
+    """Split f32 ``x`` into three bf16 parts with ``hi+mid+lo == x``.
+
+    The rounding MUST go through ``lax.reduce_precision``: writing it as
+    ``x - x.astype(bf16).astype(f32)`` lets XLA's excess-precision pass
+    elide the bf16 round-trip on TPU, collapsing the residuals to zero —
+    the "exact" 3-pass build then silently computes with ``bf16(x)`` alone
+    (measured 2^-9 output error; caught by a TPU-vs-reference differential
+    run). ``reduce_precision(x, 8, 7)`` is bf16 round-to-nearest-even in
+    f32 representation and is never elided; the subsequent casts are exact
+    because each part is bf16-representable by construction.
+    """
+    hi = jax.lax.reduce_precision(x, 8, 7)
+    r1 = x - hi
+    mid = jax.lax.reduce_precision(r1, 8, 7)
+    r2 = r1 - mid
+    return (hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
+            r2.astype(jnp.bfloat16))
 
 
 def _onehot_contract(x, M, axes_x, axes_m):
@@ -450,6 +461,14 @@ def _shifted_weight_vector(w_taps, offset, width, order, dtype):
 # (x batch under vmap), while each step still issues >10^4 row gathers.
 _CHUNK_ROWS = int(os.environ.get("ELASTICDEFORM_TPU_CHUNK_ROWS", "32768"))
 
+# gather-operand cap for the per-sample-group decomposition: XLA stages
+# gather operands of <= ~64 MiB in VMEM and sustains ~250 M rows/s there,
+# vs ~82 M rows/s for HBM-resident operands (measured on v5e,
+# tools/probe_gather.py). Batched gathers therefore dynamic-slice the big
+# table into per-sample-group sub-tables under this cap.
+_GATHER_SLICE_BYTES = int(os.environ.get(
+    "ELASTICDEFORM_TPU_GATHER_SLICE_BYTES", str(48 << 20)))
+
 # cap on the gathered-value buffer materialized per backward scatter group.
 # Small groups win: the HBM read-modify-write of the row scatter is locality
 # bound (measured on v5e, 64x 64^3: per-sample groups 265 ms vs 352 ms for
@@ -563,11 +582,10 @@ def _row_offsets(p: _StageParams):
             * p.rows_per_sample).reshape(p.nbatch * p.n_out_s)
 
 
-def _stage_primal(table2, cc_flat, p: _StageParams):
-    """Streamed gather-reduce over all output voxels; returns (N, C)."""
+def _stage_flat(table2, cc_flat, row_off, p: _StageParams):
+    """Streamed gather-reduce over a flat voxel range; returns (N, C)."""
     n_out = cc_flat.shape[0]
     naxis = cc_flat.shape[-1]
-    row_off = _row_offsets(p)
 
     if n_out <= _CHUNK_ROWS:
         return _resample_chunk(table2, cc_flat, row_off, p)
@@ -586,6 +604,53 @@ def _stage_primal(table2, cc_flat, p: _StageParams):
             lambda args: _resample_chunk(table2, args[0], args[1], p),
             (cc_p, off_p))
     return acc.reshape(n_padded, p.channels)[:n_out]
+
+
+def _gather_group_size(p: _StageParams, row_bytes: int):
+    """Samples per gather group, or 0 to keep the flat batched gather.
+
+    Only batched tables past the VMEM-staging cap benefit from slicing,
+    and only when a single sample's sub-table still fits under the cap.
+    """
+    B = max(p.nbatch, 1)
+    sample_bytes = p.rows_per_sample * row_bytes
+    if B <= 1 or B * sample_bytes <= _GATHER_SLICE_BYTES \
+            or sample_bytes > _GATHER_SLICE_BYTES:
+        return 0
+    G = max(1, min(B, _GATHER_SLICE_BYTES // sample_bytes))
+    while B % G:
+        G -= 1
+    return G
+
+
+def _stage_primal(table2, cc_flat, p: _StageParams):
+    """Streamed gather-reduce over all output voxels; returns (N, C)."""
+    naxis = cc_flat.shape[-1]
+    B = max(p.nbatch, 1)
+    G = _gather_group_size(
+        p, table2.shape[-1] * table2.dtype.itemsize)
+    if not G:
+        return _stage_flat(table2, cc_flat, _row_offsets(p), p)
+
+    # per-sample-group decomposition: gather each group's voxels from a
+    # dynamic slice of the table so the gather operand stays VMEM-sized
+    # (~3x the HBM-resident row-gather rate, see _GATHER_SLICE_BYTES)
+    ngroups = B // G
+    group_rows = G * p.rows_per_sample
+    gp = p._replace(nbatch=G)
+    cc_g = cc_flat.reshape(ngroups, G * p.n_out_s, naxis)
+    goff = _row_offsets(gp)
+
+    def one(args):
+        g_idx, cc_b = args
+        sub = jax.lax.dynamic_slice(
+            table2, (g_idx * group_rows, 0),
+            (group_rows, table2.shape[-1]))
+        return _stage_flat(sub, cc_b, goff, gp)
+
+    acc = jax.lax.map(
+        one, (jnp.arange(ngroups, dtype=jnp.int32), cc_g))
+    return acc.reshape(B * p.n_out_s, p.channels)
 
 
 def _bwd_group(p: _StageParams):

@@ -164,3 +164,29 @@ def test_onehot_bf16x3_matches_highest(monkeypatch):
     np.testing.assert_array_equal(t1, t0)  # one pick per output: bit-exact
     np.testing.assert_allclose(o1, o0, rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(d1, d0, rtol=1e-5, atol=1e-5)
+
+
+def test_split_bf16x3_elision_proof():
+    """The bf16x3 split must round through ``lax.reduce_precision``.
+
+    Written as plain f32->bf16->f32 casts, XLA's excess-precision pass on
+    TPU elides the round-trip, the residual parts collapse to zero, and the
+    "exact" 3-pass table build silently degrades to single-pass bf16
+    (~2^-9 output error — a real regression caught on hardware). Guard
+    both the reconstruction identity and the HLO form so a revert to casts
+    fails even on backends that do not elide.
+    """
+    import jax
+    import jax.numpy as jnp
+    from elasticdeform_tpu.ops import windows as W
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((64, 64)).astype(np.float32))
+    fn = jax.jit(W._split_bf16x3)
+    hi, mid, lo = [np.asarray(v, np.float64) for v in fn(x)]
+    np.testing.assert_array_equal(hi + mid + lo,
+                                  np.asarray(x, np.float64))
+    # the parts must be genuinely bf16-sized (broken split: mid = lo = 0)
+    assert np.abs(mid).max() > 0 and np.abs(lo).max() > 0
+    hlo = fn.lower(x).as_text()
+    assert "reduce_precision" in hlo

@@ -1,0 +1,130 @@
+"""On-TPU parity check against the reference C extension.
+
+The CI conformance suite runs on CPU; the TPU compiler pipeline differs in
+ways CPU cannot reproduce (bf16 matmul defaults, the excess-precision pass
+that elides f32->bf16->f32 round-trips — the latter silently broke the
+bf16x3 table build once). This script runs a condensed differential sweep
+of the real jitted TPU path against the reference C oracle and fails loudly
+if any config exceeds its tolerance.
+
+Run on the TPU host (needs /tmp/refbuild, see .claude/skills/verify):
+
+    python tools/tpu_parity.py
+"""
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, "/tmp/refbuild")
+
+import jax                                                    # noqa: E402
+import jax.numpy as jnp                                       # noqa: E402
+import elasticdeform_tpu as ed                                # noqa: E402
+import elasticdeform as edc                                   # noqa: E402
+
+
+def check(name, got, want, tol):
+    err = float(np.abs(np.asarray(got, np.float64)
+                       - np.asarray(want, np.float64)).max())
+    status = "ok  " if err <= tol else "FAIL"
+    print(f"{status} {name:44s} err {err:.3e} (tol {tol:.0e})", flush=True)
+    return err <= tol
+
+
+def main():
+    print(jax.devices(), flush=True)
+    assert jax.devices()[0].platform != "cpu", "run this on the TPU"
+    rng = np.random.default_rng(42)
+    ok = True
+
+    # 2D order/mode sweep (jitted via the numpy-compat API)
+    X = rng.random((100, 151))
+    d = rng.standard_normal((2, 3, 3)) * 20
+    for order in (0, 1, 2, 3, 4, 5):
+        for mode in ("mirror", "reflect", "wrap", "nearest", "constant"):
+            a = edc.deform_grid(X, d, order=order, mode=mode)
+            b = ed.deform_grid(X, d, order=order, mode=mode)
+            if order == 0:
+                frac = (np.abs(np.asarray(b) - a) > 1e-6).mean()
+                status = "ok  " if frac < 0.01 else "FAIL"
+                print(f"{status} 2D o0 {mode:8s} mismatch frac {frac:.4f}",
+                      flush=True)
+                ok &= frac < 0.01
+            else:
+                ok &= check(f"2D order={order} mode={mode}", b, a, 5e-5)
+
+    # 3D crop + affine
+    X3 = rng.random((64, 64, 64))
+    d3 = rng.standard_normal((3, 3, 3, 3)) * 10
+    crop = (slice(10, 50), slice(4, 60), slice(0, 32))
+    a = edc.deform_grid(X3, d3, order=3, mode='mirror', crop=crop)
+    b = ed.deform_grid(X3, d3, order=3, mode='mirror', crop=crop)
+    ok &= check("3D order=3 crop", b, a, 5e-5)
+
+    # 2D rotate/zoom
+    Xr = rng.random((80, 90))
+    dr = rng.standard_normal((2, 3, 3)) * 10
+    cropr = (slice(10, 70), slice(10, 80))
+    a = edc.deform_grid(Xr, dr, order=3, mode='mirror', crop=cropr,
+                        rotate=30, zoom=1.5)
+    b = ed.deform_grid(Xr, dr, order=3, mode='mirror', crop=cropr,
+                       rotate=30, zoom=1.5)
+    ok &= check("2D rotate=30 zoom=1.5 crop", b, a, 5e-5)
+
+    # multi-input mixed order + axis
+    img = rng.random((3, 60, 70))
+    seg = rng.random((60, 70))
+    dm = rng.standard_normal((2, 3, 3)) * 15
+    am = edc.deform_grid([img, seg], dm, order=[3, 0], mode='mirror',
+                         axis=[(1, 2), (0, 1)])
+    bm = ed.deform_grid([img, seg], dm, order=[3, 0], mode='mirror',
+                        axis=[(1, 2), (0, 1)])
+    ok &= check("multi-input img (order 3)", bm[0], am[0], 5e-5)
+    frac = (np.abs(np.asarray(bm[1]) - am[1]) > 1e-6).mean()
+    print(f"{'ok  ' if frac < 0.01 else 'FAIL'} multi-input seg (order 0) "
+          f"mismatch frac {frac:.4f}", flush=True)
+    ok &= frac < 0.01
+
+    # uint8 with prefilter: bit-exact
+    Xu = (rng.random((64, 80)) * 255).astype(np.uint8)
+    du = rng.standard_normal((2, 3, 3)) * 10
+    a = edc.deform_grid(Xu, du, order=3, mode='mirror')
+    b = np.asarray(ed.deform_grid(Xu, du, order=3, mode='mirror'))
+    nbad = int((a != b).sum())
+    print(f"{'ok  ' if nbad == 0 else 'FAIL'} uint8 prefilter bit-exact "
+          f"({nbad} mismatches)", flush=True)
+    ok &= nbad == 0
+
+    # gradient (batched jitted custom-vjp path)
+    from elasticdeform_tpu.parallel import batched_deform
+    B = 3
+    xb = jnp.asarray(rng.random((B, 32, 32, 32), dtype=np.float32))
+    db = jnp.asarray(
+        rng.standard_normal((B, 3, 3, 3, 3)).astype(np.float32) * 8)
+    gy = jnp.asarray(rng.random((B, 32, 32, 32), dtype=np.float32))
+
+    @jax.jit
+    def fwd_grad(x, dd, g):
+        y, vjp = jax.vjp(
+            lambda x_: batched_deform(x_, dd, order=3, mode='mirror'), x)
+        return y, vjp(g)[0]
+
+    y, gx = fwd_grad(xb, db, gy)
+    for b_ in range(B):
+        yr = edc.deform_grid(np.asarray(xb[b_], np.float64),
+                             np.asarray(db[b_], np.float64),
+                             order=3, mode='mirror')
+        gr = edc.deform_grid_gradient(np.asarray(gy[b_], np.float64),
+                                      np.asarray(db[b_], np.float64),
+                                      order=3, mode='mirror',
+                                      X_shape=(32, 32, 32))
+        ok &= check(f"batched fwd sample {b_}", y[b_], yr, 5e-5)
+        ok &= check(f"batched grad sample {b_}", gx[b_], gr, 5e-5)
+
+    print("PASS" if ok else "FAIL", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
