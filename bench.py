@@ -67,19 +67,42 @@ def _sync_scalars(out):
         float(s)
 
 
+# Per-call dispatch through the remote TPU tunnel has a ~1 ms floor
+# (measured: a trivial `x+1` jit sustains ~1.3 ms/call), which would
+# dominate the sub-ms small configs. They are therefore measured as a
+# device-sequential stream: lax.scan over K independent (image, grid)
+# pairs inside one jit — identical per-image semantics (each scan step IS
+# the single-image call), with the environment's dispatch floor amortized
+# the same way the CPU baseline's timing loop amortizes Python overhead.
+_STREAM_K = 16
+
+
+def _stream(fwd_one, xs_list, ds):
+    @jax.jit
+    def fK(xs_list, ds):
+        def body(carry, args):
+            return carry, fwd_one(*args)
+        _, outs = jax.lax.scan(body, 0.0, (*xs_list, ds))
+        return jax.tree_util.tree_map(jnp.sum, outs)
+
+    return fK, (xs_list, ds)
+
+
 def bench_c1():
     """README example: 2D 200x300, random 3x3 grid, order-3, mirror."""
     import elasticdeform_tpu as ed
 
-    x = jnp.asarray(RNG.random((200, 300), dtype=np.float32))
-    d = jnp.asarray(RNG.standard_normal((2, 3, 3)).astype(np.float32) * 25)
+    K = _STREAM_K
+    xs = jnp.asarray(RNG.random((K, 200, 300), dtype=np.float32))
+    ds = jnp.asarray(
+        RNG.standard_normal((K, 2, 3, 3)).astype(np.float32) * 25)
 
-    @jax.jit
-    def fwd(x, d):
+    def one(x, d):
         return jnp.sum(ed.deform(x, d, order=3, mode='mirror'))
 
-    dt = _timeit(lambda: fwd(x, d), _sync_scalars, x.size)
-    mvox = x.size / dt / 1e6
+    fK, args = _stream(one, (xs,), ds)
+    dt = _timeit(lambda: fK(*args), _sync_scalars, xs.size) / K
+    mvox = 200 * 300 / dt / 1e6
     return {"metric": "2D 200x300 order-3 deform forward throughput",
             "value": round(mvox, 2), "unit": "Mvox/s/chip",
             "vs_baseline": round(mvox / BASELINES["c1"], 2)}
@@ -89,19 +112,21 @@ def bench_c2():
     """Multi-input [RGB image, segmentation], mixed order=[3,0], axis."""
     import elasticdeform_tpu as ed
 
-    img = jnp.asarray(RNG.random((3, 200, 300), dtype=np.float32))
-    seg = jnp.asarray(RNG.random((200, 300), dtype=np.float32))
-    d = jnp.asarray(RNG.standard_normal((2, 3, 3)).astype(np.float32) * 25)
+    K = _STREAM_K
+    imgs = jnp.asarray(RNG.random((K, 3, 200, 300), dtype=np.float32))
+    segs = jnp.asarray(RNG.random((K, 200, 300), dtype=np.float32))
+    ds = jnp.asarray(
+        RNG.standard_normal((K, 2, 3, 3)).astype(np.float32) * 25)
 
-    @jax.jit
-    def fwd(img, seg, d):
+    def one(img, seg, d):
         a, b = ed.deform([img, seg], d, order=[3, 0],
                          axis=[(1, 2), (0, 1)], mode='mirror')
-        return jnp.sum(a), jnp.sum(b)
+        return jnp.sum(a) + jnp.sum(b)
 
-    dt = _timeit(lambda: fwd(img, seg, d), _sync_scalars,
-                 img.size + seg.size)
-    mvox = (img.size + seg.size) / dt / 1e6
+    fK, args = _stream(one, (imgs, segs), ds)
+    vox_call = imgs[0].size + segs[0].size
+    dt = _timeit(lambda: fK(*args), _sync_scalars, K * vox_call) / K
+    mvox = vox_call / dt / 1e6
     return {"metric": "multi-input mixed-order deform forward throughput",
             "value": round(mvox, 2), "unit": "Mvox/s/chip",
             "vs_baseline": round(mvox / BASELINES["c2"], 2)}
@@ -111,15 +136,17 @@ def bench_c3():
     """3D 128^3 volume, crop to the central 64^3 window, order-3."""
     import elasticdeform_tpu as ed
 
-    x = jnp.asarray(RNG.random((128, 128, 128), dtype=np.float32))
-    d = jnp.asarray(RNG.standard_normal((3, 3, 3, 3)).astype(np.float32) * 15)
+    K = 4
+    xs = jnp.asarray(RNG.random((K, 128, 128, 128), dtype=np.float32))
+    ds = jnp.asarray(
+        RNG.standard_normal((K, 3, 3, 3, 3)).astype(np.float32) * 15)
     crop = (slice(32, 96),) * 3
 
-    @jax.jit
-    def fwd(x, d):
+    def one(x, d):
         return jnp.sum(ed.deform(x, d, order=3, mode='mirror', crop=crop))
 
-    dt = _timeit(lambda: fwd(x, d), _sync_scalars, 64 ** 3)
+    fK, args = _stream(one, (xs,), ds)
+    dt = _timeit(lambda: fK(*args), _sync_scalars, K * 64 ** 3) / K
     mvox = 64 ** 3 / dt / 1e6  # output voxels, like the CPU baseline
     return {"metric": "3D 128^3 crop-64^3 order-3 deform forward throughput",
             "value": round(mvox, 2), "unit": "Mvox/s/chip",

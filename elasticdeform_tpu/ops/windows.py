@@ -117,10 +117,21 @@ def _default_platform():
     return jax.devices()[0].platform
 
 
-def _use_bf16x3(dtype) -> bool:
+# below this many conv-input elements the 3-pass build loses: the split's
+# extra kernels cost more than HIGHEST's in-pipeline passes on tiny convs
+# (measured on v5e: 200x300 2D build 0.77 ms HIGHEST vs 0.99 bf16x3, while
+# the 64x 64^3 build is 18 ms bf16x3 vs 27 HIGHEST)
+_BF16X3_MIN_ELEMS = 1 << 22
+
+
+def _use_bf16x3(dtype, elems=None) -> bool:
     if dtype != jnp.float32 or _BF16X3 == "0":
         return False
-    return _BF16X3 == "1" or _default_platform() != "cpu"
+    if _BF16X3 == "1":
+        return True
+    if elems is not None and elems < _BF16X3_MIN_ELEMS:
+        return False
+    return _default_platform() != "cpu"
 
 
 # Opt-in: run the backward FOLD contractions (gradient-only path) with the
@@ -415,7 +426,7 @@ def _build_table_impl(xp, widths, strides, n_lead, batched=False):
         conv_counts = counts
 
     kernel_np = _patch_kernel(tuple(widths), C, xp.dtype.name)
-    if _use_bf16x3(xin.dtype):
+    if _use_bf16x3(xin.dtype, xin.size):
         # exact f32 in 3 bf16 MXU passes instead of HIGHEST's 6: the
         # hi/mid/lo parts become 3 input channels per group and the one-hot
         # kernel is replicated over them (see _BF16X3 above)
