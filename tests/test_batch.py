@@ -95,6 +95,7 @@ def test_sharded_matches_vmap():
                                rtol=1e-10, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_sharded_gradient():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")

@@ -7,6 +7,10 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 
 import elasticdeform_tpu as ed
+
+# every test here jit-compiles shard_map programs over an 8-device mesh —
+# the compile time dominates the suite; quick tier skips them
+pytestmark = pytest.mark.slow
 from elasticdeform_tpu.parallel import (
     sharded_deform_spatial, validate_max_displacement,
 )
