@@ -65,33 +65,6 @@ def probe_pl_vmem(n_rows=8192, n_idx=1 << 20, chunk=8192):
     table, idx = make_data(n_rows, n_idx)
     n_chunks = n_idx // chunk
 
-    def kernel(idx_ref, table_ref, out_ref):
-        def body(i, acc):
-            r = table_ref[pl.ds(idx_ref[i], 1), :]
-            return acc + r
-
-        acc = jax.lax.fori_loop(0, chunk, body,
-                                jnp.zeros((1, LANES), jnp.float32))
-        out_ref[:] = acc
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_chunks,),
-        in_specs=[pl.BlockSpec((n_rows, LANES), lambda i, s: (0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, LANES), lambda i, s: (i, 0),
-                               memory_space=pltpu.VMEM),
-    )
-
-    @jax.jit
-    def f(idx, table):
-        out = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((n_chunks, LANES), jnp.float32),
-            grid_spec=grid_spec,
-        )(idx.reshape(n_chunks, chunk)[0], table)  # FIXME per-chunk idx
-        return jnp.sum(out)
-
     # simpler: all idx prefetched, chunk i reads slice
     def kernel2(idx_ref, table_ref, out_ref):
         i = pl.program_id(0)
