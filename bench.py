@@ -241,16 +241,29 @@ def main(argv):
         print_readme_table()
     elif "--all" in argv:
         names = [a for a in argv if a in CONFIGS] or list(CONFIGS)
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "bench_results.json")
+        here = os.path.dirname(os.path.abspath(__file__))
+        path = os.path.join(here, "bench_results.json")
         results = {}
         if os.path.exists(path):  # partial runs update, not clobber
             with open(path) as f:
                 results = json.load(f)
+        previous = dict(results)
         for name in names:
             results[name] = CONFIGS[name]()
-            print(json.dumps({"config": name, **results[name]}),
-                  flush=True)
+            line = {"config": name, **results[name]}
+            # perf regression guard: compare against the last recorded run
+            prev = previous.get(name)
+            if prev and results[name]["value"] < 0.9 * prev["value"]:
+                line["regression_vs_prev"] = round(
+                    results[name]["value"] / prev["value"], 3)
+                print(f"WARNING: {name} regressed "
+                      f"{prev['value']:.1f} -> {results[name]['value']:.1f} "
+                      "Mvox/s (>10%)", file=sys.stderr, flush=True)
+            print(json.dumps(line), flush=True)
+        if previous:
+            with open(os.path.join(here, "bench_results_prev.json"),
+                      "w") as f:
+                json.dump(previous, f, indent=2)
         with open(path, "w") as f:
             json.dump(results, f, indent=2)
     elif any(a in CONFIGS for a in argv):

@@ -46,14 +46,39 @@ def _to_host(ys, dtypes):
 def deform_random_grid(X, sigma=25, points=3, order=3, mode='constant',
                        cval=0.0, crop=None, prefilter=True, axis=None,
                        affine=None, rotate=None, zoom=None):
-    """Elastic deformation with a random deformation grid.
+    """Elastic deformation of an image with a random displacement grid.
 
-    Numpy-compatible twin of the reference ``deform_random_grid``
-    (reference deform_grid.py:6-49): samples
-    ``displacement = randn(naxis, *points) * sigma`` from the global numpy
-    RNG and applies :func:`deform_grid`. For reproducible, device-side
-    randomness use :func:`elasticdeform_tpu.deform_random` with an explicit
-    PRNG key.
+    Samples a coarse grid of normally distributed displacement vectors,
+    ``displacement = numpy.random.randn(naxis, *points) * sigma``, and
+    applies :func:`deform_grid` with it. This matches the behaviour of the
+    reference ``deform_random_grid`` (reference deform_grid.py:6-49),
+    including its use of the *global* numpy RNG — seed with
+    ``numpy.random.seed`` for reproducibility, or use
+    :func:`elasticdeform_tpu.deform_random` for device-side randomness with
+    an explicit PRNG key.
+
+    Parameters
+    ----------
+    X : numpy array or list of arrays
+        Image to deform, or a list of images that are deformed with the
+        same random grid (e.g. an image and its segmentation). All inputs
+        must agree on the shape of the deformed axes.
+    sigma : float
+        Standard deviation, in voxels, of the normal distribution the
+        control-point displacement vectors are drawn from.
+    points : int or tuple of ints
+        Number of control points of the coarse displacement grid along
+        each deformed axis; a scalar is used for every axis. The grid
+        spans the full image extent, so larger ``points`` gives
+        higher-frequency deformations.
+    order, mode, cval, crop, prefilter, axis, affine, rotate, zoom
+        Passed through to :func:`deform_grid`; see there for the full
+        semantics.
+
+    Returns
+    -------
+    numpy array or list of arrays
+        The deformed image(s), matching the input form and dtypes.
     """
     Xs = _n.normalize_inputs(X)
     axis_n, deform_shape = _n.normalize_axis_list(axis, Xs)
@@ -67,12 +92,91 @@ def deform_random_grid(X, sigma=25, points=3, order=3, mode='constant',
 def deform_grid(X, displacement, order=3, mode='constant', cval=0.0,
                 crop=None, prefilter=True, axis=None, affine=None,
                 rotate=None, zoom=None, *, strategy="auto"):
-    """Elastic deformation with a deformation grid.
+    """Elastic deformation of an image with a displacement grid.
 
-    Numpy-compatible twin of the reference ``deform_grid``
-    (reference deform_grid.py:52-179); see that docstring for the full
-    parameter semantics. The deformation runs jit-compiled on the default
-    JAX device; outputs are numpy arrays with the input dtypes.
+    The coarse grid of per-axis displacement vectors is interpolated to a
+    dense per-voxel displacement field with cubic B-splines; the image is
+    then resampled at the displaced coordinates with a B-spline of the
+    requested ``order``. Numpy-compatible twin of the reference
+    ``deform_grid`` (reference deform_grid.py:52-179): numpy in, numpy
+    out, with the computation jit-compiled on the default JAX device. Each
+    static configuration (shapes, axes, orders, modes, crop) compiles once
+    and is cached. For a traceable/differentiable JAX-native version use
+    :func:`elasticdeform_tpu.deform`.
+
+    Parameters
+    ----------
+    X : numpy array or list of arrays
+        Image to deform, or a list of images deformed with the same
+        displacement grid. The inputs may differ in dtype and in their
+        non-deformed (channel) axes, but must agree on the shape of the
+        deformed axes.
+    displacement : numpy array
+        Displacement vectors of the control-point grid, with shape
+        ``(naxis, *points)`` where ``naxis`` is the number of deformed
+        axes and ``points`` the per-axis control-point counts. Values are
+        in voxels of the full (uncropped) image. The grid is stretched
+        over the full image extent: control point ``i`` along an axis of
+        length ``n`` sits at coordinate ``i * (n - 1) / (points - 1)``.
+    order : int or list of ints
+        B-spline interpolation order for the image resampling, 0 to 5
+        (0 = nearest neighbour, 1 = linear, 3 = cubic, ...). A list gives
+        a per-input order. The displacement grid itself is always
+        interpolated with cubic (order 3) B-splines.
+    mode : str or list of str
+        Border behaviour when a displaced coordinate falls outside the
+        image: one of ``'nearest'`` (repeat the edge value), ``'wrap'``
+        (periodic), ``'reflect'`` (mirror about the edge value's center),
+        ``'mirror'`` (mirror about the edge value), or ``'constant'``
+        (fill with ``cval``). Semantics match the reference C kernel,
+        which keeps the pre-SciPy-1.6 formulas (reference deform.c:47-128).
+        A list gives a per-input mode.
+    cval : float or list of floats
+        Fill value used by ``mode='constant'``; per-input when a list.
+    crop : None or list of slices
+        One ``slice(start, stop)`` per deformed axis (``slice(None)`` for
+        a full axis). Only the cropped output window is computed — the
+        deformation is still evaluated in full-image coordinates, so a
+        crop of a deformed image equals the deformed full image cropped.
+        Slices must have non-negative ``start``/``stop`` and no step.
+    prefilter : bool
+        If True (default), apply the B-spline prefilter to the inputs
+        (for ``order > 1``) so the resampling interpolates the image
+        values exactly; set False if the inputs already are B-spline
+        coefficients. The displacement grid is always prefiltered.
+    axis : None, int, tuple, or list of tuples
+        The axes to deform, per input. Default: all axes. With e.g. a
+        ``(H, W, C)`` RGB image, ``axis=(0, 1)`` deforms the image plane
+        and applies the same deformation to every channel. Per-input
+        tuples (a list) let inputs of different rank share a deformation;
+        every tuple must be sorted and the selected axes must agree in
+        shape across inputs.
+    affine : None or numpy array
+        Affine transform composed with the deformation, given as the
+        ``(naxis, naxis)`` linear part, an ``(naxis, naxis + 1)`` matrix
+        with a translation column, or the ``(naxis + 1, naxis + 1)``
+        homogeneous form (homogeneous input is 2-D only). The output
+        coordinate is mapped through the *inverse* of the matrix before
+        the displacement is added (a pull-back, like the reference,
+        deform_grid.py:392-399).
+    rotate : None or float
+        Rotation in degrees around the center of the (cropped) output,
+        2-D images only (rank-2 deformation). Composed into ``affine``.
+    zoom : None or float
+        Scale factor around the same center, 2-D only. ``zoom > 1``
+        magnifies the image. Composed into ``affine``.
+    strategy : str, keyword-only
+        Kernel selection: ``'auto'`` (default) uses the windowed row-gather
+        TPU fast path when the (naxis, order) combination supports it,
+        ``'windows'`` forces it, ``'gather'`` forces the plain
+        element-gather fallback. Results are identical to 1e-12; this only
+        affects performance.
+
+    Returns
+    -------
+    numpy array or list of arrays
+        The deformed image(s) with the input dtypes (integer outputs are
+        rounded and clamped like the reference, deform.c:287-306).
     """
     Xs = _n.normalize_inputs(X)
     axis_n, deform_shape = _n.normalize_axis_list(axis, Xs)
@@ -99,12 +203,40 @@ def deform_grid_gradient(dY, displacement, order=3, mode='constant', cval=0.0,
                          crop=None, prefilter=True, axis=None, X_shape=None,
                          affine=None, rotate=None, zoom=None, *,
                          strategy="auto"):
-    """Gradient of :func:`deform_grid` w.r.t. the input.
+    """Gradient of :func:`deform_grid` w.r.t. the input image.
 
-    Numpy-compatible twin of the reference ``deform_grid_gradient``
-    (reference deform_grid.py:182-291): the exact analytic adjoint,
-    including the transpose spline prefilter. ``X_shape`` is required when
-    ``crop`` is used.
+    Given the gradient ``dY`` of a scalar loss w.r.t. the *output* of
+    :func:`deform_grid`, returns the gradient w.r.t. its *input*: the
+    exact analytic adjoint of the whole forward operation (scatter-add of
+    the interpolation stencils followed by the transpose spline
+    prefilter), matching the reference ``deform_grid_gradient``
+    (reference deform_grid.py:182-291). Use it to make the deformation a
+    differentiable layer; the ``elasticdeform_tpu.tf`` / ``.torch`` shims
+    and the JAX-native :func:`elasticdeform_tpu.deform` wire it up
+    automatically.
+
+    Parameters
+    ----------
+    dY : numpy array or list of arrays
+        Gradient(s) w.r.t. the deformed output(s), with the output
+        shape(s) of the forward call (i.e. the cropped shape when ``crop``
+        was used).
+    displacement, order, mode, cval, crop, prefilter, axis, affine, \
+rotate, zoom, strategy
+        Must be the same values that were passed to the forward
+        :func:`deform_grid` call; see there for semantics.
+    X_shape : None, tuple, or list of tuples
+        Shape(s) of the original forward input(s). Required when ``crop``
+        is used (the gradient is returned at the full uncropped shape,
+        which cannot be inferred from ``dY`` alone); otherwise defaults
+        to the shape(s) of ``dY``.
+
+    Returns
+    -------
+    numpy array or list of arrays
+        Gradient(s) w.r.t. the input(s), with shape ``X_shape`` and the
+        dtype(s) of ``dY``. There is no gradient w.r.t. ``displacement``
+        here (reference parity); the JAX-native path supports it.
     """
     dYs = _n.normalize_inputs(dY)
     if isinstance(X_shape, tuple):

@@ -47,15 +47,25 @@ def deform(X, displacement, *, order=3, mode='constant', cval=0.0, crop=None,
            strategy="auto"):
     """Elastic deformation with a control-point displacement grid.
 
-    JAX-native twin of the reference ``deform_grid``
-    (reference deform_grid.py:52-179): same parameters and semantics, but
-    pure/traceable — use it inside ``jit``-compiled training steps, ``vmap``
-    it over batches, or shard it over a device mesh. Returns JAX arrays.
+    JAX-native core of the library: pure and traceable — use it inside
+    ``jit``-compiled training steps, ``vmap`` it over batches, or shard it
+    over a device mesh. Returns JAX arrays. Functionally identical to the
+    numpy wrapper :func:`elasticdeform_tpu.deform_grid` (and to the
+    reference ``deform_grid``, reference deform_grid.py:52-179).
 
-    ``order``/``mode``/``cval``/``crop``/``axis`` must be static Python
-    values (each combination compiles once). ``displacement`` and ``affine``
-    may be traced arrays; the result is differentiable w.r.t. both ``X`` and
-    ``displacement``.
+    Parameters are those of :func:`elasticdeform_tpu.deform_grid` — see
+    its docstring for the full semantics of ``displacement``, ``order``,
+    ``mode``, ``cval``, ``crop``, ``prefilter``, ``axis``, ``affine``,
+    ``rotate``, ``zoom`` and ``strategy`` — with the JAX-specific rules:
+
+    * ``X`` is a JAX (or numpy) array, or a list of arrays deformed with
+      the same grid; outputs are JAX arrays with the input dtypes.
+    * ``order``/``mode``/``cval``/``crop``/``axis``/``strategy`` must be
+      static Python values (each combination traces/compiles once).
+    * ``displacement`` and ``affine`` may be traced arrays.
+    * The result is differentiable w.r.t. ``X`` *and* — beyond reference
+      parity — w.r.t. ``displacement`` (the reference refuses
+      displacement gradients, reference tf.py:47, torch.py:29).
     """
     Xs, displacement, inv_affine, spec = _prepare(
         X, displacement, order, mode, cval, crop, prefilter, axis, affine,
@@ -70,9 +80,15 @@ def deform_gradient(dY, displacement, *, order=3, mode='constant', cval=0.0,
                     affine=None, rotate=None, zoom=None, strategy="auto"):
     """Exact adjoint of :func:`deform` w.r.t. the inputs.
 
-    JAX-native twin of the reference ``deform_grid_gradient``
-    (reference deform_grid.py:182-291). ``X_shape`` is required when ``crop``
-    was used in the forward pass.
+    Maps output cotangents ``dY`` to input cotangents, as a standalone
+    traceable function (JAX-native twin of the reference
+    ``deform_grid_gradient``, reference deform_grid.py:182-291; numpy
+    wrapper: :func:`elasticdeform_tpu.deform_grid_gradient`, whose
+    docstring documents all parameters). Normally you would just
+    ``jax.grad`` through :func:`deform` — this entry point exists for
+    callers that manage their own backward pass. ``X_shape`` (the
+    uncropped input shape(s)) is required when ``crop`` was used in the
+    forward pass; all other parameters must match the forward call.
     """
     dYs = _n.normalize_inputs(dY)
     if isinstance(X_shape, tuple):

@@ -59,12 +59,18 @@ from elasticdeform_tpu.ops.modes import mirror_index_np
 LANES = 128
 
 
+# 3-D order<=3 window geometry: '448' = (4,4,8)/(1,1,5) (128-lane rows,
+# 26x table) vs '555' = (5,5,5)/(2,2,2) (125-lane rows, 1.6x smaller
+# table: build 23 vs 32 ms on 64x 64^3, gather 58 vs 54 — see ROADMAP).
+_PLAN3D = os.environ.get("ELASTICDEFORM_TPU_PLAN3D", "448")
+
+
 def window_plan(naxis: int, order: int):
     """Choose window widths/strides and which leading axes loop.
 
     Returns ``(n_lead, widths, strides)`` where the first ``n_lead`` axes
     are handled by a static (order+1)-tap loop of row gathers and the
-    remaining axes are covered by one window of ``prod(widths) = 128``
+    remaining axes are covered by one window of ``prod(widths) <= 128``
     lanes. Constraint per windowed axis: ``widths[h] >= strides[h] + order``.
     """
     def strides_for(widths):
@@ -76,7 +82,7 @@ def window_plan(naxis: int, order: int):
         widths = (4, 32) if order <= 3 else (8, 16)
     elif naxis == 3:
         if order <= 3:
-            widths = (4, 4, 8)
+            widths = (5, 5, 5) if _PLAN3D == "555" else (4, 4, 8)
         else:
             # 128 lanes cannot cover a 3-axis stencil of width 5/6:
             # loop over axis 0, window the last two axes
@@ -109,6 +115,12 @@ _CONV_SPECS = {
 # and |x| > bf16_max/2 ~ 1.7e38 — set ELASTICDEFORM_TPU_ONEHOT_BF16X3=0 to
 # fall back to HIGHEST, or =1 to force it on CPU too (where bf16 is
 # emulated and the trick only helps for differential testing).
+# ORDERING ASSUMPTION: per output element the three partial picks must be
+# accumulated in an order where hi meets mid (or lo meets mid) before the
+# extremes meet — hi+lo first can need >24 mantissa bits and round 1 ulp.
+# XLA does not *guarantee* channel accumulation order, so bit-exactness is
+# empirical per backend/version; test_onehot_bf16x3_matches_highest
+# asserts it and will catch an ordering change.
 _BF16X3 = os.environ.get("ELASTICDEFORM_TPU_ONEHOT_BF16X3", "auto")
 
 

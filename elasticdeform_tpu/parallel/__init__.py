@@ -10,6 +10,7 @@ from elasticdeform_tpu.parallel.spatial import (
     sharded_deform_spatial,
     sharded_deform_batched_spatial,
     sharded_deform_spatial_nd,
+    sharded_deform_batched_spatial_nd,
     validate_max_displacement,
 )
 from elasticdeform_tpu.parallel.pipeline import AugmentationPipeline
@@ -21,6 +22,7 @@ __all__ = [
     "sharded_deform_spatial",
     "sharded_deform_batched_spatial",
     "sharded_deform_spatial_nd",
+    "sharded_deform_batched_spatial_nd",
     "validate_max_displacement",
     "make_augmentation_mesh",
     "AugmentationPipeline",

@@ -116,21 +116,23 @@ def _dynamic_weight_matrix(odim, ncp, idim, row0, cdt):
 
 def _dense_displacement_offsets(disp_f, out_spatial, global_shape, row0s,
                                 cdt):
-    """Dense displacement with *traced* offsets on the sharded axes.
+    """Dense displacement with traced or static offsets per axis.
 
-    ``row0s[h]`` is the rank's traced global offset along axis ``h`` (None
-    for unsharded axes, which use the host-precomputed static matrices).
+    ``row0s[h]`` is the rank's global offset along axis ``h``: a traced
+    scalar for sharded axes, a Python int for static (crop) offsets, or
+    None for plain unsharded axes (offset 0) — the latter two use the
+    host-precomputed static matrices.
     """
     naxis = len(out_spatial)
     out = jnp.asarray(disp_f, dtype=cdt)
     for h in range(naxis):
-        if row0s[h] is not None:
+        if row0s[h] is not None and not isinstance(row0s[h], int):
             W = _dynamic_weight_matrix(out_spatial[h], out.shape[h + 1],
                                        global_shape[h], row0s[h], cdt)
         else:
             W = jnp.asarray(displacement_matrix(
-                out_spatial[h], out.shape[h + 1], global_shape[h], 0),
-                dtype=cdt)
+                out_spatial[h], out.shape[h + 1], global_shape[h],
+                row0s[h] or 0), dtype=cdt)
         out = jnp.moveaxis(
             jnp.tensordot(W, out, axes=[[1], [h + 1]],
                           precision=jax.lax.Precision.HIGHEST), 0, h + 1)
@@ -142,6 +144,189 @@ def _dense_displacement_offset(disp_f, out_spatial, global_shape, row0, cdt):
     row0s = [row0] + [None] * (len(out_spatial) - 1)
     return _dense_displacement_offsets(disp_f, out_spatial, global_shape,
                                        row0s, cdt)
+
+
+def _normalize_crop(crop, global_shape):
+    """Per-axis (start, stop) from a list of slices (reference crop rules:
+    plain non-negative start/stop, no step — deform_grid.py:335-346)."""
+    naxis = len(global_shape)
+    assert isinstance(crop, (list, tuple)) and len(crop) == naxis, \
+        "crop must be a list with one slice per volume axis"
+    bounds = []
+    for h, sl in enumerate(crop):
+        if sl is None:
+            sl = slice(None)
+        assert isinstance(sl, slice) and sl.step in (None, 1), \
+            "crop slices must be plain slice(start, stop)"
+        start = 0 if sl.start is None else int(sl.start)
+        stop = global_shape[h] if sl.stop is None else int(sl.stop)
+        assert 0 <= start < stop <= global_shape[h], \
+            f"crop slice {sl} out of range for axis {h} ({global_shape[h]})"
+        bounds.append((start, stop))
+    return bounds
+
+
+def _spatial_crop_impl(mesh, x, displacement, max_displacement, order, mode,
+                       cval, prefilter, axis_name, validate, crop):
+    """Cropped sharded deformation: replicated-window strategy.
+
+    With ``crop``, each rank's output slab is a window of the *cropped*
+    output, whose source voxels live in the static global input window
+    ``W = [start0 - halo, stop0 + halo)`` — generally NOT aligned with the
+    input sharding. Instead of an irregular exchange, the (small) window is
+    assembled on every rank by ONE ``all_gather`` of fixed-size shard
+    pieces; each rank then resamples its own output rows from the
+    replicated window with static-offset displacement matrices
+    (the crop geometry of reference deform_grid.py:328-354 + deform.c:643,
+    655, applied per rank). Memory per rank is the window, not the volume —
+    the intended crop use case (small output from a big sharded volume).
+
+    ``wrap`` mode is not supported with crop (folded samples would need
+    seam windows at the far edges; use the uncropped path or crop on the
+    host side).
+    """
+    is_list = isinstance(x, (list, tuple))
+    xs = [jnp.asarray(a) for a in (x if is_list else [x])]
+    cvals = list(cval) if isinstance(cval, (list, tuple)) \
+        else [cval] * len(xs)
+    assert len(cvals) == len(xs)
+    for a in xs[1:]:
+        assert a.shape == xs[0].shape, \
+            "all inputs must share the (deformed) shape"
+
+    mode_code = _modes.mode_to_code(mode)
+    if mode_code == _modes.MODE_WRAP:
+        raise NotImplementedError(
+            "crop is not supported with mode='wrap' in the sharded spatial "
+            "path (wrap-folded samples land outside the crop window)")
+    n = mesh.shape[axis_name]
+    global_shape = tuple(int(d) for d in xs[0].shape)
+    naxis = len(global_shape)
+    assert displacement.shape[0] == naxis
+    bounds = _normalize_crop(crop, global_shape)
+    start0, stop0 = bounds[0]
+    out0 = stop0 - start0
+    assert out0 % n == 0, \
+        "the cropped extent of axis 0 must divide evenly over the mesh"
+    s_out = out0 // n
+    S0 = global_shape[0]
+    assert S0 % n == 0, "axis 0 must divide evenly over the mesh"
+    s_in = S0 // n
+    halo = int(math.ceil(max_displacement)) + order + 2
+    if prefilter and order > 1:
+        halo += _PREFILTER_HALO[order]
+
+    if validate:
+        if isinstance(displacement, jax.core.Tracer):
+            raise ValueError(
+                "validate=True needs a concrete displacement; under jit "
+                "call validate_max_displacement(...) outside the trace")
+        validate_max_displacement(np.asarray(displacement),
+                                  max_displacement, global_shape)
+
+    # static input window along axis 0 and its assembly from shard pieces
+    W_lo = max(0, start0 - halo)
+    W_hi = min(S0, stop0 + halo)
+    W_len = W_hi - W_lo
+    piece_cap = min(s_in, W_len)
+    q_lo, q_hi = W_lo // s_in, (W_hi - 1) // s_in
+
+    def _piece_lo(q):
+        # start of the fixed-size piece rank q contributes: a window of its
+        # shard that CONTAINS its intersection with W
+        return max(0, min(W_lo - q * s_in, s_in - piece_cap))
+
+    cdt = default_compute_dtype(*([a.dtype for a in xs]
+                                  + [displacement.dtype]))
+    plan = window_plan(naxis, order)
+    assert plan is not None
+    n_lead, widths, strides = plan
+    pad = pad_amount(order)
+
+    def _prefilter_block(block):
+        if prefilter and order > 1:
+            for d in range(naxis):
+                block = spline_filter1d(block, order, d)
+        return block
+
+    def _window_pad(block):
+        for h in range(naxis):
+            extra = widths[h - n_lead] if h >= n_lead else 0
+            block = window_pad_axis(block, h, pad, extra)
+        return block
+
+    out_spatial = (s_out,) + tuple(b - a for a, b in bounds[1:])
+
+    def local_fn(disp, *x_locals):
+        r = jax.lax.axis_index(axis_name)
+        lo_r = jnp.clip(W_lo - r * s_in, 0, s_in - piece_cap
+                        ).astype(jnp.int32)
+
+        slabs = []
+        for x_local in x_locals:
+            piece = jax.lax.dynamic_slice_in_dim(
+                x_local.astype(cdt), lo_r, piece_cap, axis=0)
+            gathered = jax.lax.all_gather(piece, axis_name)  # (n, cap, ...)
+            segs = []
+            for q in range(q_lo, q_hi + 1):
+                g0 = max(W_lo, q * s_in)
+                g1 = min(W_hi, (q + 1) * s_in)
+                p0 = g0 - q * s_in - _piece_lo(q)
+                segs.append(jax.lax.slice_in_dim(
+                    gathered[q], p0, p0 + (g1 - g0), axis=0))
+            W = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=0)
+            # window-pad + prefilter the replicated window. At true volume
+            # edges (W_lo == 0 / W_hi == S0) the mirror padding and the
+            # prefilter's edge handling are semantically correct; at
+            # interior cuts the nearest *used* coefficient is >= order + 2
+            # taps away from the cut (+ _PREFILTER_HALO when prefiltering),
+            # so neither the fake padding nor the IIR boundary init is
+            # visible at 1e-9
+            slabs.append(_window_pad(_prefilter_block(W)[..., None]))
+        disp_f = _prefilter_displacement(disp, cdt)
+
+        # dense displacement at global output positions: axis 0 offset is
+        # start0 + r*s_out (traced), other axes use the static crop offsets
+        row0 = (r * s_out + start0).astype(jnp.int32)
+        row0s = [row0] + [a for a, _ in bounds[1:]]
+        displ = _dense_displacement_offsets(disp_f, out_spatial,
+                                            global_shape, row0s, cdt)
+
+        coords = [jax.lax.broadcasted_iota(cdt, out_spatial, h)
+                  for h in range(naxis)]
+        cc = [coords[h] + displ[h] for h in range(naxis)]
+        cc[0] = cc[0] + row0.astype(cdt)
+        for h in range(1, naxis):
+            cc[h] = cc[h] + bounds[h][0]
+        mapped = []
+        inside = None
+        for h in range(naxis):
+            m, ins = _modes.map_coordinate(cc[h], global_shape[h], mode_code)
+            mapped.append(m)
+            if mode_code == _modes.MODE_CONSTANT:
+                inside = ins if inside is None else inside & ins
+        # window-local along axis 0
+        mapped[0] = jnp.clip(mapped[0] - W_lo, 0, W_len - 1)
+
+        ys = []
+        for xp, cv in zip(slabs, cvals):
+            y = resample_windows(xp, mapped, inside, order, out_spatial,
+                                 cdt, pad)[..., 0]
+            if inside is not None:
+                y = y + jnp.where(inside, jnp.zeros((), cdt),
+                                  jnp.asarray(cv, cdt))
+            ys.append(y)
+        return tuple(ys)
+
+    from jax import shard_map
+    spec_x = P(axis_name, *([None] * (naxis - 1)))
+    spec_d = P(*([None] * (naxis + 1)))
+    fn = shard_map(local_fn, mesh=mesh,
+                   in_specs=(spec_d,) + (spec_x,) * len(xs),
+                   out_specs=(spec_x,) * len(xs))
+    outs = fn(jnp.asarray(displacement), *xs)
+    outs = [cast_output(o, np.dtype(a.dtype)) for o, a in zip(outs, xs)]
+    return list(outs) if is_list else outs[0]
 
 
 def _spatial_impl(mesh, x, displacement, max_displacement, order, mode,
@@ -304,7 +489,7 @@ def _spatial_impl(mesh, x, displacement, max_displacement, order, mode,
 def sharded_deform_spatial(mesh: Mesh, x, displacement, *,
                            max_displacement: float, order: int = 3,
                            mode: str = 'mirror', cval=0.0,
-                           prefilter: bool = True,
+                           crop=None, prefilter: bool = True,
                            axis_name: str = "shard",
                            validate: bool = False):
     """Deform one volume (or a list sharing the deformation) sharded along
@@ -321,11 +506,30 @@ def sharded_deform_spatial(mesh: Mesh, x, displacement, *,
         order/mode/cval/prefilter: as in :func:`elasticdeform_tpu.deform`;
             all five boundary modes are supported (one shared mode; ``cval``
             may be a list per input).
+        crop: optional list of ``slice(start, stop)`` per volume axis —
+            compute only that output window, in full-volume deformation
+            coordinates (the semantics of ``deform_grid``'s ``crop``). The
+            cropped extent of axis 0 must divide over the mesh; the source
+            window is replicated per rank via one ``all_gather`` (memory =
+            window size, not volume size). Not supported with
+            ``mode='wrap'``.
         validate: check ``max_displacement`` against the exact dense field
             before running (eager calls only; raises on violation).
 
+    Restrictions vs the single-device path: ``affine``/``rotate``/``zoom``
+    are not available here — an affine mixes axes, so the slab a rank needs
+    is no longer local to its shard (for rotated crops of a sharded volume,
+    run :func:`elasticdeform_tpu.deform` on a replicated copy, or
+    batch-parallelize with :func:`batched_deform` instead). Per-input
+    ``order``/``mode`` are also not supported (one shared deformation
+    geometry per call).
+
     Returns the deformed volume(s), sharded like the input.
     """
+    if crop is not None:
+        return _spatial_crop_impl(mesh, x, displacement, max_displacement,
+                                  order, mode, cval, prefilter, axis_name,
+                                  validate, crop)
     return _spatial_impl(mesh, x, displacement, max_displacement, order,
                          mode, cval, prefilter, axis_name, validate, None)
 
@@ -390,6 +594,46 @@ def sharded_deform_spatial_nd(mesh: Mesh, x, displacement, *,
 
     Returns the deformed volume(s), sharded like the input.
     """
+    return _spatial_nd_impl(mesh, x, displacement, max_displacement, order,
+                            mode, cval, prefilter, axis_names, validate,
+                            None)
+
+
+def sharded_deform_batched_spatial_nd(mesh: Mesh, x, displacement, *,
+                                      max_displacement: float,
+                                      order: int = 3, mode: str = 'mirror',
+                                      cval=0.0, prefilter: bool = True,
+                                      batch_axis: str = "batch",
+                                      axis_names=("shard0", "shard1"),
+                                      validate: bool = False):
+    """Hybrid data-parallel + multi-axis spatially-sharded deformation.
+
+    The 3-D mesh generalization of :func:`sharded_deform_batched_spatial`:
+    samples are data-parallel over ``batch_axis`` while each sample's
+    volume is sharded along its first ``len(axis_names)`` axes with the
+    multi-axis halo machinery of :func:`sharded_deform_spatial_nd` (all
+    five modes, corner seams by two-hop relay).
+
+    Args:
+        mesh: mesh containing ``batch_axis`` and every name in
+            ``axis_names``.
+        x: (B, *volume_shape) array (or list of same-shaped arrays); B must
+            divide over ``batch_axis``, volume axis ``k`` over
+            ``axis_names[k]``.
+        displacement: (B, naxis, *points) per-sample control grids.
+        Remaining arguments as in :func:`sharded_deform_spatial_nd`
+        (``validate`` checks every sample's grid on every sharded axis).
+
+    Returns the deformed batch, sharded like the input.
+    """
+    return _spatial_nd_impl(mesh, x, displacement, max_displacement, order,
+                            mode, cval, prefilter, axis_names, validate,
+                            batch_axis)
+
+
+def _spatial_nd_impl(mesh, x, displacement, max_displacement, order, mode,
+                     cval, prefilter, axis_names, validate, batch_axis):
+    batched = batch_axis is not None
     mode_code = _modes.mode_to_code(mode)
     wrap = mode_code == _modes.MODE_WRAP
     is_list = isinstance(x, (list, tuple))
@@ -402,10 +646,11 @@ def sharded_deform_spatial_nd(mesh: Mesh, x, displacement, *,
             "all inputs must share the (deformed) shape"
 
     K = len(axis_names)
-    global_shape = tuple(int(d) for d in xs[0].shape)
+    global_shape = tuple(int(d) for d in
+                         (xs[0].shape[1:] if batched else xs[0].shape))
     naxis = len(global_shape)
     assert K <= naxis
-    assert displacement.shape[0] == naxis
+    assert displacement.shape[1 if batched else 0] == naxis
     ns = [mesh.shape[a] for a in axis_names]
     ss = []
     halo = int(math.ceil(max_displacement)) + order + 2
@@ -426,11 +671,12 @@ def sharded_deform_spatial_nd(mesh: Mesh, x, displacement, *,
                 "validate=True needs a concrete displacement; under jit "
                 "call validate_max_displacement(...) outside the trace")
         disp_np = np.asarray(displacement)
-        for k in range(K):
-            # check component k over the full volume (the helper checks
-            # component 0 of what it is given)
-            validate_max_displacement(disp_np[k:k + 1], max_displacement,
-                                      global_shape)
+        for d_s in (disp_np if batched else [disp_np]):
+            for k in range(K):
+                # check component k over the full volume (the helper checks
+                # component 0 of what it is given)
+                validate_max_displacement(d_s[k:k + 1], max_displacement,
+                                          global_shape)
 
     cdt = default_compute_dtype(*([a.dtype for a in xs]
                                   + [displacement.dtype]))
@@ -549,9 +795,18 @@ def sharded_deform_spatial_nd(mesh: Mesh, x, displacement, *,
         return tuple(ys)
 
     from jax import shard_map
-    spec_x = P(*axis_names, *([None] * (naxis - K)))
-    spec_d = P(*([None] * (naxis + 1)))
-    fn = shard_map(local_fn, mesh=mesh,
+    if batched:
+        # per-sample grids: vmap the single-volume body over the local
+        # batch; every ppermute/all_gather batches through vmap, so one
+        # exchange moves every local sample's halos
+        body = jax.vmap(local_fn)
+        spec_x = P(batch_axis, *axis_names, *([None] * (naxis - K)))
+        spec_d = P(batch_axis, *([None] * (naxis + 1)))
+    else:
+        body = local_fn
+        spec_x = P(*axis_names, *([None] * (naxis - K)))
+        spec_d = P(*([None] * (naxis + 1)))
+    fn = shard_map(body, mesh=mesh,
                    in_specs=(spec_d,) + (spec_x,) * len(xs),
                    out_specs=(spec_x,) * len(xs))
     outs = fn(jnp.asarray(displacement), *xs)
