@@ -61,8 +61,14 @@ LANES = 128
 
 # 3-D order<=3 window geometry: '448' = (4,4,8)/(1,1,5) (128-lane rows,
 # 26x table) vs '555' = (5,5,5)/(2,2,2) (125-lane rows, 1.6x smaller
-# table: build 23 vs 32 ms on 64x 64^3, gather 58 vs 54 — see ROADMAP).
-_PLAN3D = os.environ.get("ELASTICDEFORM_TPU_PLAN3D", "448")
+# table). Measured END-TO-END on the 64x 64^3 fwd+grad pair (r3,
+# bench_artifacts/stages_{448,555}.json): 448 wins — 363 vs 381 ms
+# (555: build -4 ms but gather +4.5 and scatter +10; the smaller table
+# does NOT speed the RMW-bound scatter, and 125-lane rows gather slower).
+# 448 stays the default; the switch remains for A/B and regression runs.
+# Read at call time so A/B runs and tests can flip it per trace.
+def _plan3d():
+    return os.environ.get("ELASTICDEFORM_TPU_PLAN3D", "448")
 
 
 def window_plan(naxis: int, order: int):
@@ -82,7 +88,7 @@ def window_plan(naxis: int, order: int):
         widths = (4, 32) if order <= 3 else (8, 16)
     elif naxis == 3:
         if order <= 3:
-            widths = (5, 5, 5) if _PLAN3D == "555" else (4, 4, 8)
+            widths = (5, 5, 5) if _plan3d() == "555" else (4, 4, 8)
         else:
             # 128 lanes cannot cover a 3-axis stencil of width 5/6:
             # loop over axis 0, window the last two axes
@@ -149,7 +155,12 @@ def _use_bf16x3(dtype, elems=None) -> bool:
 # Opt-in: run the backward FOLD contractions (gradient-only path) with the
 # BF16_BF16_F32_X3 dot algorithm — 3 MXU passes instead of HIGHEST's 6 at
 # ~2^-17 relative error on the input-gradient (the forward/parity path is
-# unaffected). Off by default pending gradient-parity measurements.
+# unaffected). MEASURED on v5e (r3, bench_artifacts/stages_448_foldx3
+# .json): fold 26 -> 14.4 ms, 64x 64^3 pair 363 -> 351 ms (+3.4%).
+# Deliberately OFF by default: the exact analytic adjoint (<Ax,y> ==
+# <x,A'y> to 1e-12) is a library contract, and +3.4% does not buy its
+# loss. Set ELASTICDEFORM_TPU_FOLD_X3=1 for the fast approximate
+# input-gradient when ~1e-5 relative error is acceptable.
 _FOLD_X3 = os.environ.get("ELASTICDEFORM_TPU_FOLD_X3", "0") == "1"
 
 
@@ -380,6 +391,83 @@ def _fold_table(ct, spatial, widths, strides, n_lead, channels, nbatch,
 
 
 
+# Table-build implementation: 'conv' (one-hot grouped im2col conv, the
+# default) or 'concat' (copy-only slice/reshape/concat construction —
+# bit-identical, no MXU, no bf16x3). MEASURED on v5e (tools/
+# probe_build.py): the conv WINS — 28.7 vs 33.7 ms on the 64x 64^3 batch
+# table, 10.6 vs 14.5 ms on a single 128^3 — XLA lowers the lane-space
+# concats with relayout shuffles, while both paths sit at ~100 GB/s
+# effective (the (rows, 128) table write itself appears to be the
+# ceiling). 'concat' is kept for A/B runs and as the exact-build option
+# for dtypes the bf16x3 split cannot serve.
+def _build_mode():
+    return os.environ.get("ELASTICDEFORM_TPU_BUILD", "conv")
+
+
+def _concat_eligible(widths, strides, channels):
+    """Copy-only build requires unit strides on the leading windowed axes
+    (pure shifted views), a last-axis overlap that one neighbour chunk
+    covers, and single-channel rows (channel-major lane order would need
+    a minor-dim transpose)."""
+    return (channels == 1
+            and all(s == 1 for s in strides[:-1])
+            and widths[-1] - strides[-1] <= strides[-1])
+
+
+def _build_table_concat(xp, widths, strides, n_lead, batched):
+    """Copy-only window-table construction.
+
+    The overlapping windows of the LAST axis come from the stride-reshape
+    trick: ``window(t) = x[s*t : s*t + w]`` is chunk ``t`` of the
+    ``(T+1, s)`` reshape concatenated with the first ``w - s`` lanes of
+    chunk ``t+1``. The remaining (unit-stride) windowed axes are plain
+    shifted views, concatenated along the lane axis in ``_patch_kernel``'s
+    ndindex order. Two concats total; every element is an exact copy.
+    """
+    nbatch = xp.shape[0] if batched else 1
+    spatial = xp.shape[1:-1] if batched else xp.shape[:-1]
+    naxis = len(spatial)
+    nw = naxis - n_lead
+    lanes = math.prod(widths)
+    counts = [(spatial[n_lead + k] - widths[k]) // strides[k] + 1
+              for k in range(nw)]
+    lead_dims = spatial[:n_lead]
+    batch = nbatch * max(math.prod(lead_dims), 1)
+    x = xp.reshape(batch, *spatial[n_lead:])
+
+    w_z, s_z = widths[-1], strides[-1]
+    T_z = counts[-1]
+    nchunk = T_z + 1
+    padz = nchunk * s_z - x.shape[-1]
+    pcfg = [(0, 0)] * (x.ndim - 1)
+    if padz > 0:
+        # pad values are never read: the last window ends at
+        # (T_z-1)*s_z + w_z <= P_z
+        x = jnp.pad(x, pcfg + [(0, padz)])
+    elif padz < 0:
+        x = x[..., :nchunk * s_z]
+    xc = x.reshape(*x.shape[:-1], nchunk, s_z)
+    c1 = xc[..., :T_z, :]
+    if w_z > s_z:
+        c2 = xc[..., 1:T_z + 1, :w_z - s_z]
+        z = jnp.concatenate([c1, c2], axis=-1)   # (..., T_z, w_z)
+    else:
+        z = c1
+    if nw == 1:
+        table = z
+    else:
+        pieces = []
+        for offs in np.ndindex(*widths[:-1]):
+            idx = (slice(None),) + tuple(
+                slice(o, o + counts[k]) for k, o in enumerate(offs)
+            ) + (slice(None), slice(None))
+            pieces.append(z[idx])
+        table = jnp.concatenate(pieces, axis=-1)
+    n_rows = batch * math.prod(counts)
+    return (table.reshape(n_rows, lanes),
+            tuple(lead_dims) + tuple(counts))
+
+
 def _build_table_impl(xp, widths, strides, n_lead, batched=False):
     """Expand padded input (*spatial, C) into the overlapping window table.
 
@@ -402,6 +490,9 @@ def _build_table_impl(xp, widths, strides, n_lead, batched=False):
     naxis = len(spatial)
     nw = naxis - n_lead
     lanes = math.prod(widths)
+
+    if _build_mode() == "concat" and _concat_eligible(widths, strides, C):
+        return _build_table_concat(xp, widths, strides, n_lead, batched)
 
     # window counts; every valid i_h has its window inside the (extended)
     # padded array because the caller over-pads by widths[k]

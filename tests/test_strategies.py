@@ -7,6 +7,8 @@ configuration — same taps, same weights, different memory layout.
 
 import numpy as np
 import pytest
+import jax
+import jax.numpy as jnp
 
 import elasticdeform_tpu as ed
 from elasticdeform_tpu.ops.windows import window_plan
@@ -75,3 +77,54 @@ def test_window_plan_constraints():
             for w in widths:
                 total *= w
             assert total == 128
+
+
+@pytest.mark.parametrize("order", [0, 1, 2, 3])
+def test_plan555_equivalence(order, monkeypatch):
+    """The (5,5,5)/(2,2,2) 3-D window geometry (ELASTICDEFORM_TPU_PLAN3D)
+    is tap-for-tap identical to the default (4,4,8)/(1,1,5) plan."""
+    rng = np.random.default_rng(99)
+    X = rng.random((20, 18, 22))
+    d = rng.standard_normal((3, 3, 3, 3)) * 3
+    gy = rng.random((20, 18, 22))
+    a = ed.deform_grid(X, d, order=order, mode='mirror')
+    ga = ed.deform_grid_gradient(gy, d, order=order, mode='mirror')
+    monkeypatch.setenv("ELASTICDEFORM_TPU_PLAN3D", "555")
+    jax.clear_caches()
+    # the numpy API's spec-keyed jit cache does not key on the env var;
+    # clear it so the 555 plan actually retraces
+    from elasticdeform_tpu import api as _api
+    _api._jitted_forward.cache_clear()
+    _api._jitted_gradient.cache_clear()
+    try:
+        b = ed.deform_grid(X, d, order=order, mode='mirror')
+        gb = ed.deform_grid_gradient(gy, d, order=order, mode='mirror')
+    finally:
+        monkeypatch.delenv("ELASTICDEFORM_TPU_PLAN3D")
+        jax.clear_caches()
+        _api._jitted_forward.cache_clear()
+        _api._jitted_gradient.cache_clear()
+    np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(ga, gb, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("plan", [((4, 4, 8), (1, 1, 5), 0, (2, (16, 18, 20))),
+                                  ((4, 32), (1, 29), 0, (1, (20, 40))),
+                                  ((128,), (125,), 0, (3, (140,)))])
+def test_concat_build_bit_identical(plan, monkeypatch):
+    """The copy-only table construction (ELASTICDEFORM_TPU_BUILD=concat)
+    must produce the bit-identical table to the im2col conv build."""
+    from elasticdeform_tpu.ops import windows as W
+    widths, strides, n_lead, (B, size) = plan
+    rng = np.random.default_rng(7)
+    pad = 2
+    padded = tuple(s + 2 * pad + (widths[k - n_lead] if k >= n_lead else 0)
+                   for k, s in enumerate(size))
+    xp = jnp.asarray(rng.random((B, *padded, 1)).astype(np.float32))
+    assert W._concat_eligible(widths, strides, 1)
+    monkeypatch.setenv("ELASTICDEFORM_TPU_BUILD", "conv")
+    ref, dims_ref = W._build_table_impl(xp, widths, strides, n_lead, True)
+    monkeypatch.setenv("ELASTICDEFORM_TPU_BUILD", "concat")
+    got, dims = W._build_table_impl(xp, widths, strides, n_lead, True)
+    assert dims == dims_ref
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
