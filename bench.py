@@ -50,16 +50,26 @@ BASELINES = {
 RNG = np.random.default_rng(0)
 
 
+# timing repeats: the remote tunnel and compile service are shared, so a
+# single timed pass can absorb transient contention. Noise is strictly
+# additive here, so the MIN over repeats is the estimator of the chip's
+# actual rate (same policy as timeit).
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+
+
 def _timeit(step, sync, voxels_per_call=_MIN_TIMED_VOXELS):
-    """Median-free simple timing: warmup (compile), then timed calls
-    synchronized once at the end by fetching scalars."""
+    """Warmup (compile), then REPEATS timed passes of n calls each,
+    synchronized by fetching scalars; returns the fastest pass."""
     n = _iters(voxels_per_call)
     sync(step())
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = step()
-    sync(out)
-    return (time.perf_counter() - t0) / n
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = step()
+        sync(out)
+        best = min(best, time.perf_counter() - t0)
+    return best / n
 
 
 def _sync_scalars(out):

@@ -177,10 +177,12 @@ def cast_output(t, dtype):
     * bool: C truncating cast, nonzero -> True.
     """
     dtype = np.dtype(dtype)
-    if dtype.kind == "f" or dtype.kind == "c":
-        return t.astype(dtype)
     if dtype.kind == "b":
         return jnp.trunc(t) != 0
+    if dtype.kind not in "iu":
+        # floats, complex, and ml_dtypes extended floats (bfloat16 has
+        # numpy kind 'V'): plain cast
+        return t.astype(dtype)
     info = np.iinfo(dtype)
     if dtype.kind == "u":
         r = jnp.where(t > 0, t + 0.5, 0.0)

@@ -71,6 +71,16 @@ def _plan3d():
     return os.environ.get("ELASTICDEFORM_TPU_PLAN3D", "448")
 
 
+# 2-D order<=3 window geometry: '816' = (8,16)/(5,13) (2.0x table
+# expansion) vs '432' = (4,32)/(1,29) (4.4x). The (8,16) plan maximizes
+# prod(strides) = prod(widths - order) under prod(widths) <= 128, halving
+# the table build — the dominant stage of the small-2D forward; the row
+# gather is 128 lanes either way. Default measured on v5e (r3): see
+# bench_artifacts/stages_c1_*.json.
+def _plan2d():
+    return os.environ.get("ELASTICDEFORM_TPU_PLAN2D", "816")
+
+
 def window_plan(naxis: int, order: int):
     """Choose window widths/strides and which leading axes loop.
 
@@ -85,10 +95,21 @@ def window_plan(naxis: int, order: int):
     if naxis == 1:
         widths = (LANES,)
     elif naxis == 2:
-        widths = (4, 32) if order <= 3 else (8, 16)
+        if order <= 3:
+            widths = (4, 32) if _plan2d() == "432" else (8, 16)
+        else:
+            widths = (8, 16)
     elif naxis == 3:
         if order <= 3:
-            widths = (5, 5, 5) if _plan3d() == "555" else (4, 4, 8)
+            p3 = _plan3d()
+            if p3 == "555":
+                widths = (5, 5, 5)
+            elif p3 == "888":
+                # 512-lane rows: 4.1x table expansion instead of 26x —
+                # probe for build-dominated single-sample configs
+                widths = (8, 8, 8)
+            else:
+                widths = (4, 4, 8)
         else:
             # 128 lanes cannot cover a 3-axis stencil of width 5/6:
             # loop over axis 0, window the last two axes
@@ -137,9 +158,11 @@ def _default_platform():
 
 # below this many conv-input elements the 3-pass build loses: the split's
 # extra kernels cost more than HIGHEST's in-pipeline passes on tiny convs
-# (measured on v5e: 200x300 2D build 0.77 ms HIGHEST vs 0.99 bf16x3, while
-# the 64x 64^3 build is 18 ms bf16x3 vs 27 HIGHEST)
-_BF16X3_MIN_ELEMS = 1 << 22
+# (measured on v5e: 200x300 2D build 0.77 ms HIGHEST vs 0.99 bf16x3; the
+# single 128^3 crop config is already bf16x3 territory — c3 29.6 vs 25.4
+# Mvox/s, r3 campaign3 — and 64x 64^3 builds 18 ms bf16x3 vs 27 HIGHEST)
+_BF16X3_MIN_ELEMS = int(os.environ.get(
+    "ELASTICDEFORM_TPU_BF16X3_MIN_ELEMS", str(1 << 21)))
 
 
 def _use_bf16x3(dtype, elems=None) -> bool:
@@ -468,6 +491,62 @@ def _build_table_concat(xp, widths, strides, n_lead, batched):
             tuple(lead_dims) + tuple(counts))
 
 
+@functools.lru_cache(maxsize=None)
+def _expand_matrix(P: int, T: int, w: int, s: int, dtype_name: str):
+    """(P, T*w) selection matrix: column ``t*w + u`` picks input ``t*s + u``.
+
+    Each column has exactly one 1, so a HIGHEST-precision matmul with it is
+    an exact copy (products are x*1; the 6-pass f32 reconstruction keeps
+    the value bit-exact).
+    """
+    E = np.zeros((P, T * w), dtype=dtype_name)
+    for t in range(T):
+        for u in range(w):
+            E[t * s + u, t * w + u] = 1
+    return E
+
+
+def _build_table_matmul(xp, widths, strides, n_lead, batched):
+    """2-D window-table build as two one-hot matmuls + one small transpose.
+
+    Alternative to the strided one-hot conv for small 2-D inputs, where the
+    conv's fixed lowering cost (kernel relayout, 6-pass HIGHEST passes over
+    a tiny spatial extent) dominates: each windowed axis is expanded with a
+    selection matmul (``dot_general`` contracting that axis), then one
+    transpose assembles the channel-major ``(C, W_h, W_w)`` row layout.
+    Bit-identical to the conv build (both are exact copies of input
+    elements). Only ``nw == 2`` is served; other geometries fall back.
+    """
+    nbatch = xp.shape[0] if batched else 1
+    spatial = xp.shape[1:-1] if batched else xp.shape[:-1]
+    C = xp.shape[-1]
+    naxis = len(spatial)
+    nw = naxis - n_lead
+    assert nw == 2
+    lanes = math.prod(widths)
+    counts = [(spatial[n_lead + k] - widths[k]) // strides[k] + 1
+              for k in range(nw)]
+    lead_dims = spatial[:n_lead]
+    batch = nbatch * max(math.prod(lead_dims), 1)
+    x = xp.reshape(batch, *spatial[n_lead:], C)   # (B, H, W, C)
+    H, W = x.shape[1], x.shape[2]
+    hp = jax.lax.Precision.HIGHEST
+
+    Eh = jnp.asarray(_expand_matrix(H, counts[0], widths[0], strides[0],
+                                    xp.dtype.name))
+    Ew = jnp.asarray(_expand_matrix(W, counts[1], widths[1], strides[1],
+                                    xp.dtype.name))
+    # contract H: (B, H, W, C) x (H, Th*Wh) -> (B, W, C, Th*Wh)
+    t1 = jax.lax.dot_general(x, Eh, (((1,), (0,)), ((), ())), precision=hp)
+    # contract W: (B, W, C, Th*Wh) x (W, Tw*Ww) -> (B, C, Th*Wh, Tw*Ww)
+    t2 = jax.lax.dot_general(t1, Ew, (((1,), (0,)), ((), ())), precision=hp)
+    t2 = t2.reshape(batch, C, counts[0], widths[0], counts[1], widths[1])
+    table = jnp.transpose(t2, (0, 2, 4, 1, 3, 5))
+    n_rows = batch * math.prod(counts)
+    return (table.reshape(n_rows, C * lanes),
+            tuple(lead_dims) + tuple(counts))
+
+
 def _build_table_impl(xp, widths, strides, n_lead, batched=False):
     """Expand padded input (*spatial, C) into the overlapping window table.
 
@@ -493,6 +572,8 @@ def _build_table_impl(xp, widths, strides, n_lead, batched=False):
 
     if _build_mode() == "concat" and _concat_eligible(widths, strides, C):
         return _build_table_concat(xp, widths, strides, n_lead, batched)
+    if _build_mode() == "matmul" and nw == 2:
+        return _build_table_matmul(xp, widths, strides, n_lead, batched)
 
     # window counts; every valid i_h has its window inside the (extended)
     # padded array because the caller over-pads by widths[k]
@@ -696,15 +777,35 @@ def _row_offsets(p: _StageParams):
             * p.rows_per_sample).reshape(p.nbatch * p.n_out_s)
 
 
+# chunk loops up to this many steps are unrolled (plain Python loop over
+# static slices) instead of lowered to a lax.map while-loop: small configs
+# (e.g. the 200x300 2D forward = 2 chunks) are kernel-count bound and the
+# loop machinery costs more than the chunks; long streams keep lax.map so
+# the program stays compact and intermediates provably bounded
+_UNROLL_CHUNKS = int(os.environ.get("ELASTICDEFORM_TPU_UNROLL_CHUNKS", "4"))
+
+
 def _stage_flat(table2, cc_flat, row_off, p: _StageParams):
     """Streamed gather-reduce over a flat voxel range; returns (N, C)."""
     n_out = cc_flat.shape[0]
     naxis = cc_flat.shape[-1]
 
-    if n_out <= _CHUNK_ROWS:
+    # single-sample small configs: one chunk (one gather + one fused
+    # weight chain) beats two — chunking exists to bound the live
+    # (chunk, lanes) intermediates under vmap, which a lone sample under
+    # 2x the chunk budget does not threaten
+    chunk_cap = 2 * _CHUNK_ROWS if p.nbatch <= 1 else _CHUNK_ROWS
+    if n_out <= chunk_cap:
         return _resample_chunk(table2, cc_flat, row_off, p)
 
     n_chunks = -(-n_out // _CHUNK_ROWS)
+    if n_chunks <= _UNROLL_CHUNKS:
+        parts = []
+        for c0 in range(0, n_out, _CHUNK_ROWS):
+            c1 = min(c0 + _CHUNK_ROWS, n_out)
+            off_c = None if row_off is None else row_off[c0:c1]
+            parts.append(_resample_chunk(table2, cc_flat[c0:c1], off_c, p))
+        return jnp.concatenate(parts, axis=0)
     n_padded = n_chunks * _CHUNK_ROWS
     extra = n_padded - n_out
     cc_p = jnp.pad(cc_flat, ((0, extra), (0, 0)))

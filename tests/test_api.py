@@ -5,6 +5,8 @@ Mirrors the argument-handling behaviour of reference deform_grid.py:295-399.
 
 import numpy as np
 import pytest
+import jax
+import jax.numpy as jnp
 
 import elasticdeform_tpu as ed
 
@@ -172,3 +174,40 @@ def test_drop_in_alias():
     assert hasattr(_t, "deform_grid")
     import elasticdeform_tpu.tf as _f
     assert hasattr(_f, "deform_grid")
+
+
+def test_bfloat16_inputs():
+    """Training pipelines feed bf16: compute runs in f32 and the output
+    comes back bf16, matching the f32 result to bf16 resolution."""
+    rng = np.random.default_rng(11)
+    X = rng.random((24, 20)).astype(np.float32)
+    d = rng.standard_normal((2, 3, 3)) * 3
+    ref = ed.deform(jnp.asarray(X), jnp.asarray(d), order=3, mode='mirror')
+    out = ed.deform(jnp.asarray(X, dtype=jnp.bfloat16), jnp.asarray(d),
+                    order=3, mode='mirror')
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32), np.asarray(ref),
+        rtol=2e-2, atol=2e-2)
+    # gradients flow through the bf16 layer
+    g = jax.grad(lambda x: jnp.sum(
+        ed.deform(x, jnp.asarray(d), order=3, mode='mirror')
+        .astype(jnp.float32) ** 2))(jnp.asarray(X, dtype=jnp.bfloat16))
+    assert g.shape == X.shape and bool(jnp.all(jnp.isfinite(
+        g.astype(jnp.float32))))
+
+
+def test_remat_compatible():
+    """jax.checkpoint around the deform layer (memory/flops trade in real
+    training steps) must give identical gradients."""
+    rng = np.random.default_rng(12)
+    X = jnp.asarray(rng.random((20, 22)).astype(np.float32))
+    d = jnp.asarray((rng.standard_normal((2, 3, 3)) * 3).astype(np.float32))
+
+    def loss(x):
+        return jnp.sum(ed.deform(x, d, order=3, mode='mirror') ** 2)
+
+    g_plain = jax.grad(loss)(X)
+    g_remat = jax.grad(jax.checkpoint(loss))(X)
+    np.testing.assert_allclose(np.asarray(g_plain), np.asarray(g_remat),
+                               rtol=1e-6, atol=1e-7)

@@ -108,6 +108,55 @@ def test_plan555_equivalence(order, monkeypatch):
     np.testing.assert_allclose(ga, gb, rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.parametrize("order", [0, 1, 2, 3])
+def test_plan2d_432_equivalence(order, monkeypatch):
+    """The (4,32)/(1,29) 2-D window geometry (ELASTICDEFORM_TPU_PLAN2D=432)
+    is tap-for-tap identical to the default (8,16)/(5,13) plan."""
+    rng = np.random.default_rng(98)
+    X = rng.random((36, 44))
+    d = rng.standard_normal((2, 3, 3)) * 6
+    gy = rng.random((36, 44))
+    a = ed.deform_grid(X, d, order=order, mode='reflect')
+    ga = ed.deform_grid_gradient(gy, d, order=order, mode='reflect')
+    monkeypatch.setenv("ELASTICDEFORM_TPU_PLAN2D", "432")
+    jax.clear_caches()
+    from elasticdeform_tpu import api as _api
+    _api._jitted_forward.cache_clear()
+    _api._jitted_gradient.cache_clear()
+    try:
+        b = ed.deform_grid(X, d, order=order, mode='reflect')
+        gb = ed.deform_grid_gradient(gy, d, order=order, mode='reflect')
+    finally:
+        monkeypatch.delenv("ELASTICDEFORM_TPU_PLAN2D")
+        jax.clear_caches()
+        _api._jitted_forward.cache_clear()
+        _api._jitted_gradient.cache_clear()
+    np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(ga, gb, rtol=1e-12, atol=1e-12)
+
+
+def test_chunk_unroll_equivalence(monkeypatch):
+    """The unrolled chunk loop (small n_chunks) and the lax.map stream must
+    agree exactly — same chunks, same kernels, different control flow."""
+    from elasticdeform_tpu.ops import windows as W
+    rng = np.random.default_rng(97)
+    # > 2x _CHUNK_ROWS output voxels so chunking engages even for a single
+    # sample (3 chunks at default)
+    X = rng.random((350, 200)).astype(np.float32)
+    d = (rng.standard_normal((2, 3, 3)) * 10).astype(np.float32)
+    a = ed.deform_grid(X, d, order=3, mode='mirror')
+    monkeypatch.setattr(W, "_UNROLL_CHUNKS", 0)
+    jax.clear_caches()
+    from elasticdeform_tpu import api as _api
+    _api._jitted_forward.cache_clear()
+    try:
+        b = ed.deform_grid(X, d, order=3, mode='mirror')
+    finally:
+        jax.clear_caches()
+        _api._jitted_forward.cache_clear()
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.parametrize("plan", [((4, 4, 8), (1, 1, 5), 0, (2, (16, 18, 20))),
                                   ((4, 32), (1, 29), 0, (1, (20, 40))),
                                   ((128,), (125,), 0, (3, (140,)))])
@@ -125,6 +174,28 @@ def test_concat_build_bit_identical(plan, monkeypatch):
     monkeypatch.setenv("ELASTICDEFORM_TPU_BUILD", "conv")
     ref, dims_ref = W._build_table_impl(xp, widths, strides, n_lead, True)
     monkeypatch.setenv("ELASTICDEFORM_TPU_BUILD", "concat")
+    got, dims = W._build_table_impl(xp, widths, strides, n_lead, True)
+    assert dims == dims_ref
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+@pytest.mark.parametrize("plan,C", [(((8, 16), (5, 13), 0, (1, (20, 40))), 1),
+                                    (((8, 16), (5, 13), 0, (2, (24, 30))), 3),
+                                    (((4, 32), (1, 29), 0, (1, (20, 40))), 1)])
+def test_matmul_build_bit_identical(plan, C, monkeypatch):
+    """The selection-matmul table construction (ELASTICDEFORM_TPU_BUILD=
+    matmul) must produce the bit-identical table to the im2col conv build
+    (both are exact element copies)."""
+    from elasticdeform_tpu.ops import windows as W
+    widths, strides, n_lead, (B, size) = plan
+    rng = np.random.default_rng(17)
+    pad = 2
+    padded = tuple(s + 2 * pad + (widths[k - n_lead] if k >= n_lead else 0)
+                   for k, s in enumerate(size))
+    xp = jnp.asarray(rng.random((B, *padded, C)).astype(np.float32))
+    monkeypatch.setenv("ELASTICDEFORM_TPU_BUILD", "conv")
+    ref, dims_ref = W._build_table_impl(xp, widths, strides, n_lead, True)
+    monkeypatch.setenv("ELASTICDEFORM_TPU_BUILD", "matmul")
     got, dims = W._build_table_impl(xp, widths, strides, n_lead, True)
     assert dims == dims_ref
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

@@ -53,7 +53,7 @@ def main(json_path=None):
     ds = jnp.asarray(rng.standard_normal((K, 2, 3, 3)).astype(np.float32)
                      * 25)
 
-    dt = stream_time(lambda a: ed.deform(a[0], a[1], order=3, mode='mirror'),
+    dt = stream_time(lambda x, d: ed.deform(x, d, order=3, mode='mirror'),
                      (xs, ds))
     res["full_fwd_us"] = dt * 1e6
     print(f"full fwd    : {dt*1e6:7.1f} us/image "
@@ -91,7 +91,7 @@ def main(json_path=None):
         lambda v: W._build_table_impl(v, widths, strides, n_lead)[0])(xps[0])
     tables = jnp.broadcast_to(table, (K, *table.shape))
     ccs = jnp.asarray((rng.random((K, 60000, 2)) * 190).astype(np.float32))
-    dt = stream_time(lambda a: W._stage_primal(a[0], a[1], p), (tables, ccs))
+    dt = stream_time(lambda tb, c: W._stage_primal(tb, c, p), (tables, ccs))
     res["gather_us"] = dt * 1e6
     print(f"gather+wts  : {dt*1e6:7.1f} us "
           f"({60000/dt/1e6:.0f} M rows/s)", flush=True)

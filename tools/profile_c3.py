@@ -52,7 +52,7 @@ def main(json_path=None):
                      * 15)
 
     dt = stream_time(
-        lambda a: ed.deform(a[0], a[1], order=3, mode='mirror', crop=CROP),
+        lambda x, d: ed.deform(x, d, order=3, mode='mirror', crop=CROP),
         (xs, ds))
     res["full_fwd_us"] = dt * 1e6
     print(f"full fwd    : {dt*1e6:8.1f} us/vol "
@@ -101,7 +101,7 @@ def main(json_path=None):
     tables = jnp.broadcast_to(table, (K, *table.shape))
     ccs = jnp.asarray((rng.random((K, OUT ** 3, 3)) * (N - 10) + 2)
                       .astype(np.float32))
-    dt = stream_time(lambda a: W._stage_primal(a[0], a[1], p),
+    dt = stream_time(lambda tb, c: W._stage_primal(tb, c, p),
                      (tables, ccs))
     res["gather_us"] = dt * 1e6
     print(f"gather+wts  : {dt*1e6:8.1f} us "
