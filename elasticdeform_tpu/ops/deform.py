@@ -37,14 +37,15 @@ import jax.numpy as jnp
 from elasticdeform_tpu.ops import modes as _modes
 from elasticdeform_tpu.ops.displacement import dense_displacement
 from elasticdeform_tpu.ops.prefilter import (
-    spline_filter1d, spline_filter1d_transpose,
+    spline_filter1d, spline_filter1d_select,
+    spline_filter1d_select_transpose, spline_filter1d_transpose,
 )
 from elasticdeform_tpu.ops.resample import (
     resample_linear, cast_output, cast_int_c, pad_amount,
 )
 from elasticdeform_tpu.ops.windows import (
-    window_plan, window_pad_axis, window_unpad_axis, resample_windows,
-    resample_windows_transpose,
+    window_plan, window_pad_axis, window_pad_indices, window_unpad_axis,
+    resample_windows, resample_windows_transpose,
 )
 
 _DISPLACEMENT_ORDER = 3  # reference deform.c:375
@@ -166,6 +167,37 @@ def _prefilter_input(xt, ispec: InputSpec, spec: DeformSpec, cdt,
     return xf
 
 
+def _prefilter_pad_input(xt, ispec: InputSpec, spec: DeformSpec, cdt,
+                         exact_int: bool, plan, bo: int = 0):
+    """Prefilter + window-pad for the windows fast path, fused per axis.
+
+    When an axis runs a prefilter matmul, the window mirror-padding of that
+    axis folds into it as a row selection of the filter matrix
+    (:func:`spline_filter1d_select`) — one kernel instead of matmul +
+    concat, bit-identical: duplicated rows compute the same inner
+    products, later-axis filters act per-slice (so they commute with the
+    duplication), and the integer writeback cast is elementwise. Axes
+    without a filter keep the concat-based :func:`window_pad_axis`.
+    ``bo`` is the leading-batch axis offset (0 single, 1 batched).
+    """
+    n_lead, widths, _ = plan
+    naxis = len(ispec.axis)
+    pad = pad_amount(ispec.order)
+    xf = xt.astype(cdt)
+    filtered = spec.prefilter and ispec.order > 1
+    int_like = np.dtype(ispec.dtype).kind in "bui"
+    for d in range(naxis):
+        extra = widths[d - n_lead] if d >= n_lead else 0
+        if filtered:
+            idx = window_pad_indices(xf.shape[d + bo], pad, extra)
+            xf = spline_filter1d_select(xf, ispec.order, d + bo, idx)
+            if exact_int and int_like:
+                xf = cast_int_c(xf, ispec.dtype)
+        else:
+            xf = window_pad_axis(xf, d + bo, pad, extra)
+    return xf
+
+
 def _map_input_coordinates(cc, ispec: InputSpec, spec: DeformSpec):
     """Boundary-map coordinates for one input; returns (mapped, inside)."""
     naxis = len(ispec.axis)
@@ -188,38 +220,20 @@ def _deform_one_linear(xt, cc, ispec: InputSpec, spec: DeformSpec, cdt,
     per-tap gather path (ops/resample.py) — numerically identical taps and
     weights, different memory layout.
     """
-    xf = _prefilter_input(xt, ispec, spec, cdt, exact_int)
     mapped, inside = _map_input_coordinates(cc, ispec, spec)
     naxis = len(mapped)
-    plan = window_plan(naxis, ispec.order) \
+    plan = window_plan(naxis, ispec.order, spec.deform_shape) \
         if spec.strategy in ("auto", "windows") else None
     if plan is None:
+        xf = _prefilter_input(xt, ispec, spec, cdt, exact_int)
         y = resample_linear(xf, mapped, inside, ispec.order,
                             spec.out_spatial, cdt)
     else:
-        n_lead, widths, strides = plan
         pad = pad_amount(ispec.order)
-        xp = xf
-        for h in range(naxis):
-            extra = widths[h - n_lead] if h >= n_lead else 0
-            xp = window_pad_axis(xp, h, pad, extra)
+        xp = _prefilter_pad_input(xt, ispec, spec, cdt, exact_int, plan)
         y = resample_windows(xp, mapped, inside, ispec.order,
-                             spec.out_spatial, cdt, pad)
+                             spec.out_spatial, cdt, pad, plan=plan)
     return y, inside
-
-
-def _prefilter_input_batched(xt, ispec: InputSpec, spec: DeformSpec, cdt,
-                             exact_int: bool):
-    """Batched twin of :func:`_prefilter_input` (leading batch axis)."""
-    naxis = len(ispec.axis)
-    xf = xt.astype(cdt)
-    if spec.prefilter and ispec.order > 1:
-        int_like = np.dtype(ispec.dtype).kind in "bui"
-        for d in range(naxis):
-            xf = spline_filter1d(xf, ispec.order, d + 1)
-            if exact_int and int_like:
-                xf = cast_int_c(xf, ispec.dtype)
-    return xf
 
 
 def _deform_one_linear_batched(xt, cc, ispec: InputSpec, spec: DeformSpec,
@@ -230,18 +244,13 @@ def _deform_one_linear_batched(xt, cc, ispec: InputSpec, spec: DeformSpec,
     the windows strategy (the caller guarantees the plan exists): the batch
     folds into the window-table rows so the resampling gather stays 2-D.
     """
-    xf = _prefilter_input_batched(xt, ispec, spec, cdt, exact_int)
     mapped, inside = _map_input_coordinates(cc, ispec, spec)
     naxis = len(mapped)
-    plan = window_plan(naxis, ispec.order)
-    n_lead, widths, strides = plan
+    plan = window_plan(naxis, ispec.order, spec.deform_shape)
     pad = pad_amount(ispec.order)
-    xp = xf
-    for h in range(naxis):
-        extra = widths[h - n_lead] if h >= n_lead else 0
-        xp = window_pad_axis(xp, h + 1, pad, extra)
+    xp = _prefilter_pad_input(xt, ispec, spec, cdt, exact_int, plan, bo=1)
     y = resample_windows(xp, mapped, inside, ispec.order, spec.out_spatial,
-                         cdt, pad, batched=True)
+                         cdt, pad, batched=True, plan=plan)
     return y, inside
 
 
@@ -327,18 +336,6 @@ def deform_apply_batched(xs, displacement, affine, spec: DeformSpec):
     return ys
 
 
-def _window_unpad_transpose(d_xp, unpadded_spatial, pad, widths, n_lead):
-    """Adjoint of the per-axis window padding: fold the padded-volume
-    cotangent back onto the original extent (static slice-adds per axis,
-    reversing :func:`window_pad_axis`)."""
-    naxis = len(unpadded_spatial)
-    out = d_xp
-    for h in range(naxis - 1, -1, -1):
-        extra = widths[h - n_lead] if h >= n_lead else 0
-        out = window_unpad_axis(out, h, unpadded_spatial[h], pad, extra)
-    return out
-
-
 def _deform_one_linear_transpose(dyt, cc, ispec: InputSpec, spec: DeformSpec,
                                  cdt):
     """Exact transpose of :func:`_deform_one_linear`'s linear map.
@@ -352,7 +349,7 @@ def _deform_one_linear_transpose(dyt, cc, ispec: InputSpec, spec: DeformSpec,
     spatial = tuple(ispec.shape[d] for d in ispec.axis)
     naxis = len(spatial)
     mapped, inside = _map_input_coordinates(cc, ispec, spec)
-    plan = window_plan(naxis, ispec.order) \
+    plan = window_plan(naxis, ispec.order, spec.deform_shape) \
         if spec.strategy in ("auto", "windows") else None
     if plan is None:
         # the gather path has no custom_vjp inside, so linear_transpose
@@ -376,11 +373,21 @@ def _deform_one_linear_transpose(dyt, cc, ispec: InputSpec, spec: DeformSpec,
         for h, n in enumerate(spatial))
     d_xp = resample_windows_transpose(dyt, mapped, inside, ispec.order,
                                       spec.out_spatial, cdt, pad,
-                                      padded_spatial)
-    d_xf = _window_unpad_transpose(d_xp, spatial, pad, widths, n_lead)
-    if spec.prefilter and ispec.order > 1:
-        for d in range(naxis - 1, -1, -1):
-            d_xf = spline_filter1d_transpose(d_xf, ispec.order, d)
+                                      padded_spatial, plan=plan)
+    # transpose of the fused prefilter+pad forward (_prefilter_pad_input):
+    # per filtered axis, un-pad + transpose-prefilter is ONE matmul with
+    # the row-selected filter matrix transposed; unfiltered axes keep the
+    # slice-add un-pad (reverse axis order, reference deform_grid.py:276-286)
+    filtered = spec.prefilter and ispec.order > 1
+    d_xf = d_xp
+    for d in range(naxis - 1, -1, -1):
+        extra = widths[d - n_lead] if d >= n_lead else 0
+        if filtered:
+            idx = window_pad_indices(spatial[d], pad, extra)
+            d_xf = spline_filter1d_select_transpose(
+                d_xf, ispec.order, d, idx, spatial[d])
+        else:
+            d_xf = window_unpad_axis(d_xf, d, spatial[d], pad, extra)
     return d_xf
 
 

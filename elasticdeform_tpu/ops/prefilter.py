@@ -141,6 +141,33 @@ def spline_filter1d(x, order: int, axis: int):
     return _apply_matrix(x, filter_matrix(n, order), axis)
 
 
+def spline_filter1d_select(x, order: int, axis: int, sel_idx: np.ndarray):
+    """Fused prefilter + static row-selection: ``take(spline_filter1d(x),
+    sel_idx, axis)`` as ONE matmul with the row-selected filter matrix.
+
+    ``sel_idx`` is a static (host) integer vector; selecting rows of ``F``
+    only duplicates/reorders them, so every output row is the same inner
+    product the staged filter-then-take computes — the fusion is exact.
+    Used to fold the window mirror-padding (ops/windows.py
+    ``window_pad_indices``) into the prefilter matmul, saving a concat
+    kernel per axis in the forward and a slice-add chain in the backward
+    (the transpose of the fused matmul is again one matmul).
+    """
+    n = x.shape[axis]
+    F = filter_matrix(n, order)[np.asarray(sel_idx)]
+    return _apply_matrix(x, F, axis)
+
+
+def spline_filter1d_select_transpose(x, order: int, axis: int,
+                                     sel_idx: np.ndarray, n: int):
+    """Exact adjoint of :func:`spline_filter1d_select`: contracts the
+    selected-and-padded axis (length ``len(sel_idx)``) back to length ``n``
+    with the transposed row-selected filter matrix — the un-pad overlap-add
+    and the transpose prefilter in one matmul."""
+    F = filter_matrix(n, order)[np.asarray(sel_idx)].T
+    return _apply_matrix(x, F, axis)
+
+
 def spline_filter1d_transpose(x, order: int, axis: int):
     """Exact adjoint of :func:`spline_filter1d`.
 

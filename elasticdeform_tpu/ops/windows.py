@@ -59,16 +59,31 @@ from elasticdeform_tpu.ops.modes import mirror_index_np
 LANES = 128
 
 
-# 3-D order<=3 window geometry: '448' = (4,4,8)/(1,1,5) (128-lane rows,
-# 26x table) vs '555' = (5,5,5)/(2,2,2) (125-lane rows, 1.6x smaller
-# table). Measured END-TO-END on the 64x 64^3 fwd+grad pair (r3,
-# bench_artifacts/stages_{448,555}.json): 448 wins — 363 vs 381 ms
-# (555: build -4 ms but gather +4.5 and scatter +10; the smaller table
-# does NOT speed the RMW-bound scatter, and 125-lane rows gather slower).
-# 448 stays the default; the switch remains for A/B and regression runs.
+# 3-D order<=3 window geometry, all measured END-TO-END on v5e:
+#   '448' = (4,4,8)/(1,1,5): 128-lane rows, 26x table expansion;
+#   '555' = (5,5,5)/(2,2,2): 125-lane rows, 1.6x smaller table — LOSES
+#     on the 64x 64^3 fwd+grad pair (381 vs 363 ms: the smaller table
+#     does not speed the RMW-bound scatter, 125-lane rows gather slower);
+#   '888' = (8,8,8)/(5,5,5): 512-lane rows, only 4.1x expansion — wins
+#     when the 448 table would be HBM-resident (gathers from <= ~48 MiB
+#     operands are VMEM-staged at ~3x the rate): single 128^3 crop
+#     forward 44.9 vs 32.7 Mvox/s (r3 campaign5); LOSES on 64^3 pair
+#     configs whose 448 table already fits the cap (c4 15 vs 25).
+#   'auto' (default): 448 unless the per-sample 448 table exceeds
+#     _GATHER_SLICE_BYTES and 888's is smaller (needs deform_size).
 # Read at call time so A/B runs and tests can flip it per trace.
 def _plan3d():
-    return os.environ.get("ELASTICDEFORM_TPU_PLAN3D", "448")
+    return os.environ.get("ELASTICDEFORM_TPU_PLAN3D", "auto")
+
+
+def _table_bytes(deform_size, widths, order):
+    """Per-sample window-table bytes for a candidate all-windowed plan."""
+    pad = order // 2 + 1  # == resample.pad_amount(order)
+    rows = 1
+    for k, w in enumerate(widths):
+        padded = deform_size[k] + 2 * pad + w
+        rows *= (padded - w) // max(w - order, 1) + 1
+    return rows * math.prod(widths) * 4
 
 
 # 2-D order<=3 window geometry: '816' = (8,16)/(5,13) (2.0x table
@@ -81,13 +96,20 @@ def _plan2d():
     return os.environ.get("ELASTICDEFORM_TPU_PLAN2D", "816")
 
 
-def window_plan(naxis: int, order: int):
+def window_plan(naxis: int, order: int, deform_size=None):
     """Choose window widths/strides and which leading axes loop.
 
     Returns ``(n_lead, widths, strides)`` where the first ``n_lead`` axes
     are handled by a static (order+1)-tap loop of row gathers and the
     remaining axes are covered by one window of ``prod(widths) <= 128``
-    lanes. Constraint per windowed axis: ``widths[h] >= strides[h] + order``.
+    lanes (512 for the big-volume 3-D plan). Constraint per windowed axis:
+    ``widths[h] >= strides[h] + order``.
+
+    ``deform_size`` (optional, static): per-sample extent over the deformed
+    axes; lets the 3-D 'auto' geometry pick the low-expansion 512-lane plan
+    when the default plan's table would blow the VMEM gather-staging cap.
+    Callers that pre-pad for a plan must pass the SAME ``deform_size`` they
+    padded for (or an explicit ``plan``) downstream.
     """
     def strides_for(widths):
         return tuple(max(w - order, 1) for w in widths)
@@ -105,18 +127,24 @@ def window_plan(naxis: int, order: int):
             if p3 == "555":
                 widths = (5, 5, 5)
             elif p3 == "888":
-                # 512-lane rows: 4.1x table expansion instead of 26x —
-                # probe for build-dominated single-sample configs
                 widths = (8, 8, 8)
-            else:
+            elif p3 == "448":
                 widths = (4, 4, 8)
+            else:   # auto — see the _plan3d() comment for the measurements
+                widths = (4, 4, 8)
+                if deform_size is not None:
+                    b448 = _table_bytes(deform_size, widths, order)
+                    b888 = _table_bytes(deform_size, (8, 8, 8), order)
+                    if b448 > _GATHER_SLICE_BYTES and b888 < b448:
+                        widths = (8, 8, 8)
         else:
             # 128 lanes cannot cover a 3-axis stencil of width 5/6:
             # loop over axis 0, window the last two axes
             return 1, (8, 16), strides_for((8, 16))
     else:
         # window the last three axes (or two for high order), loop the rest
-        n_lead, widths, strides = window_plan(3, order)
+        n_lead, widths, strides = window_plan(
+            3, order, None if deform_size is None else deform_size[-3:])
         return naxis - 3 + n_lead, widths, strides
     if any(w < order + 1 for w in widths):
         return None  # cannot serve this config
@@ -414,17 +442,19 @@ def _fold_table(ct, spatial, widths, strides, n_lead, channels, nbatch,
 
 
 
-# Table-build implementation: 'conv' (one-hot grouped im2col conv, the
-# default) or 'concat' (copy-only slice/reshape/concat construction —
-# bit-identical, no MXU, no bf16x3). MEASURED on v5e (tools/
-# probe_build.py): the conv WINS — 28.7 vs 33.7 ms on the 64x 64^3 batch
-# table, 10.6 vs 14.5 ms on a single 128^3 — XLA lowers the lane-space
-# concats with relayout shuffles, while both paths sit at ~100 GB/s
-# effective (the (rows, 128) table write itself appears to be the
-# ceiling). 'concat' is kept for A/B runs and as the exact-build option
-# for dtypes the bf16x3 split cannot serve.
+# Table-build implementation, all bit-identical (tested):
+#   'matmul' — per-axis one-hot selection dot_generals (+ one transpose);
+#   'conv'   — one-hot grouped im2col conv;
+#   'concat' — copy-only slice/reshape/concat (no MXU, no bf16x3);
+#   'auto'   — measured winner per geometry (the default).
+# MEASURED on v5e: 2-D matmul beats conv at every size probed, 200x300
+# through 2048^2 (ratio 0.64-1.0x build time, tools/probe_build2d.py;
+# end-to-end c1 156 vs 138, c2 243 vs 184 Mvox/s). conv vs concat:
+# conv wins (28.7 vs 33.7 ms on the 64x 64^3 batch table — XLA lowers
+# the lane-space concats with relayout shuffles). 3-D assignments in
+# 'auto' follow the campaign A/Bs recorded in ROADMAP.md.
 def _build_mode():
-    return os.environ.get("ELASTICDEFORM_TPU_BUILD", "conv")
+    return os.environ.get("ELASTICDEFORM_TPU_BUILD", "auto")
 
 
 def _concat_eligible(widths, strides, channels):
@@ -506,42 +536,108 @@ def _expand_matrix(P: int, T: int, w: int, s: int, dtype_name: str):
     return E
 
 
-def _build_table_matmul(xp, widths, strides, n_lead, batched):
-    """2-D window-table build as two one-hot matmuls + one small transpose.
+# cap on the selection-matmul build's intermediate arrays: each axis
+# contraction multiplies the live array by that axis's expansion, so
+# high-expansion plans on big volumes materialize multi-hundred-MB
+# intermediates and lose to the conv (measured on v5e, 128^3 448 plan:
+# 240 MB intermediates, c3 15.5 vs 32.7 Mvox/s conv; the 64^3 448 pair
+# at 35 MB WINS, c4 28.3 vs 25.0)
+_MM_BUILD_CAP = int(os.environ.get(
+    "ELASTICDEFORM_TPU_MM_BUILD_CAP", str(1 << 26)))
 
-    Alternative to the strided one-hot conv for small 2-D inputs, where the
-    conv's fixed lowering cost (kernel relayout, 6-pass HIGHEST passes over
-    a tiny spatial extent) dominates: each windowed axis is expanded with a
-    selection matmul (``dot_general`` contracting that axis), then one
-    transpose assembles the channel-major ``(C, W_h, W_w)`` row layout.
-    Bit-identical to the conv build (both are exact copies of input
-    elements). Only ``nw == 2`` is served; other geometries fall back.
+
+def _matmul_build_eligible(xp, widths, strides, n_lead, batched) -> bool:
+    """'auto' gate for the selection-matmul build (see _build_mode).
+
+    2-D: always (wins at every probed size, tools/probe_build2d.py).
+    3-D: single sample only (the batched 8-D assembly transpose hits a
+    tiled-layout padded copy — 20 GB on the 64x 64^3 table) and only while
+    the per-pass intermediates stay under _MM_BUILD_CAP.
+    """
+    nbatch = xp.shape[0] if batched else 1
+    spatial = xp.shape[1:-1] if batched else xp.shape[:-1]
+    C = xp.shape[-1]
+    nw = len(spatial) - n_lead
+    if nw == 2:
+        return True
+    if nw != 3:
+        return False
+    batch = nbatch * max(math.prod(spatial[:n_lead]), 1)
+    if batch > 1:
+        return False
+    split = _use_bf16x3(xp.dtype, xp.size)
+    item = 2 if split else np.dtype(xp.dtype).itemsize
+    chans = C * (3 if split else 1)
+    live = batch * chans * math.prod(spatial[n_lead:])
+    for k in range(nw):
+        counts_k = (spatial[n_lead + k] - widths[k]) // strides[k] + 1
+        live = live // spatial[n_lead + k] * counts_k * widths[k]
+        if live * item > _MM_BUILD_CAP:
+            return False
+    return True
+
+
+def _build_table_matmul(xp, widths, strides, n_lead, batched):
+    """N-D window-table build as per-axis one-hot selection matmuls.
+
+    Each windowed axis is expanded by contracting it with a ``(P, T*w)``
+    selection matrix (column ``t*w + u`` picks input ``t*s + u``); after
+    all ``nw`` contractions one transpose assembles the channel-major row
+    layout. Every column has exactly one 1, so each output element is a
+    copy of one input element — bit-identical to the conv build (tested).
+
+    Precision: the f32 path contracts at HIGHEST (6 bf16 MXU passes).
+    Past the bf16x3 gate the input is split hi/mid/lo into 3x channels and
+    every contraction runs as a single bf16 pass — selections only copy,
+    and each part is bf16-representable, so the parts survive every stage
+    exactly; the final ordered sum ``(hi + mid) + lo`` reconstructs f32
+    exactly and fuses into the assembling transpose.
     """
     nbatch = xp.shape[0] if batched else 1
     spatial = xp.shape[1:-1] if batched else xp.shape[:-1]
     C = xp.shape[-1]
     naxis = len(spatial)
     nw = naxis - n_lead
-    assert nw == 2
     lanes = math.prod(widths)
     counts = [(spatial[n_lead + k] - widths[k]) // strides[k] + 1
               for k in range(nw)]
     lead_dims = spatial[:n_lead]
     batch = nbatch * max(math.prod(lead_dims), 1)
-    x = xp.reshape(batch, *spatial[n_lead:], C)   # (B, H, W, C)
-    H, W = x.shape[1], x.shape[2]
-    hp = jax.lax.Precision.HIGHEST
+    x = xp.reshape(batch, *spatial[n_lead:], C)
 
-    Eh = jnp.asarray(_expand_matrix(H, counts[0], widths[0], strides[0],
-                                    xp.dtype.name))
-    Ew = jnp.asarray(_expand_matrix(W, counts[1], widths[1], strides[1],
-                                    xp.dtype.name))
-    # contract H: (B, H, W, C) x (H, Th*Wh) -> (B, W, C, Th*Wh)
-    t1 = jax.lax.dot_general(x, Eh, (((1,), (0,)), ((), ())), precision=hp)
-    # contract W: (B, W, C, Th*Wh) x (W, Tw*Ww) -> (B, C, Th*Wh, Tw*Ww)
-    t2 = jax.lax.dot_general(t1, Ew, (((1,), (0,)), ((), ())), precision=hp)
-    t2 = t2.reshape(batch, C, counts[0], widths[0], counts[1], widths[1])
-    table = jnp.transpose(t2, (0, 2, 4, 1, 3, 5))
+    split = _use_bf16x3(x.dtype, x.size)
+    if split:
+        parts = _split_bf16x3(x)
+        # part index minor within each channel: (..., C*3)
+        x = jnp.stack(parts, axis=-1).reshape(*x.shape[:-1], C * 3)
+        mm_kw = dict(preferred_element_type=jnp.bfloat16)
+    else:
+        mm_kw = dict(precision=jax.lax.Precision.HIGHEST)
+
+    t = x
+    for k in range(nw):
+        # 0/1 entries are exactly representable in every dtype; numpy has
+        # no bfloat16, so build f32 and cast at upload (like _patch_kernel)
+        E_np = _expand_matrix(spatial[n_lead + k], counts[k], widths[k],
+                              strides[k],
+                              "float32" if split else x.dtype.name)
+        E = jnp.asarray(E_np, jnp.bfloat16) if split else jnp.asarray(E_np)
+        # contract the current leading spatial axis (always position 1);
+        # its (T_k * w_k) expansion lands as the new trailing axis, so
+        # after nw passes the layout is (B, C', T1*w1, ..., Tnw*wnw)
+        t = jax.lax.dot_general(t, E, (((1,), (0,)), ((), ())), **mm_kw)
+
+    tw = sum(((counts[k], widths[k]) for k in range(nw)), ())
+    if split:
+        t = t.reshape(batch, C, 3, *tw)
+        t = ((t[:, :, 0].astype(jnp.float32)
+              + t[:, :, 1].astype(jnp.float32))
+             + t[:, :, 2].astype(jnp.float32))
+    else:
+        t = t.reshape(batch, C, *tw)
+    perm = ((0,) + tuple(2 + 2 * k for k in range(nw)) + (1,)
+            + tuple(3 + 2 * k for k in range(nw)))
+    table = jnp.transpose(t, perm)
     n_rows = batch * math.prod(counts)
     return (table.reshape(n_rows, C * lanes),
             tuple(lead_dims) + tuple(counts))
@@ -570,9 +666,11 @@ def _build_table_impl(xp, widths, strides, n_lead, batched=False):
     nw = naxis - n_lead
     lanes = math.prod(widths)
 
-    if _build_mode() == "concat" and _concat_eligible(widths, strides, C):
+    mode = _build_mode()
+    if mode == "concat" and _concat_eligible(widths, strides, C):
         return _build_table_concat(xp, widths, strides, n_lead, batched)
-    if _build_mode() == "matmul" and nw == 2:
+    if mode == "matmul" or (mode == "auto" and _matmul_build_eligible(
+            xp, widths, strides, n_lead, batched)):
         return _build_table_matmul(xp, widths, strides, n_lead, batched)
 
     # window counts; every valid i_h has its window inside the (extended)
@@ -688,13 +786,17 @@ class _StageParams(NamedTuple):
     nbatch: int            # 1 when not batched
 
 
-def _chunk_weights(cc, p: _StageParams):
+def _chunk_weights(cc, p: _StageParams, staged: bool = False):
     """Per-voxel window indices and lane weights for one flat chunk.
 
     Returns (row_base, wrow, lead) where ``row_base`` (M,) indexes the
     per-sample table, ``wrow`` (M, lanes) are the combined lane weights of
     the windowed axes, and ``lead`` is the per-lead-axis tap weight/stride
-    info for the static tap loop.
+    info for the static tap loop. With ``staged=True``, ``wrow`` is
+    instead the LIST of per-windowed-axis shifted vectors (M, widths[k])
+    — their outer product is never materialized; the consumer contracts
+    them axis-by-axis against the gathered rows (measured 2x on 512-lane
+    plans: the (M, lanes) weight row dominates HBM traffic there).
     """
     naxis = cc.shape[-1]
     idt = jnp.int32
@@ -723,9 +825,12 @@ def _chunk_weights(cc, p: _StageParams):
             taps = weights[h]
         wv = _shifted_weight_vector(taps, o_h, p.widths[k], p.order,
                                     p.compute_dtype)
-        wrow = wv if wrow is None else (
-            wrow[:, :, None] * wv[:, None, :]).reshape(
-                wv.shape[0], wrow.shape[1] * wv.shape[1])
+        if staged:
+            wrow = (wrow or []) + [wv]
+        else:
+            wrow = wv if wrow is None else (
+                wrow[:, :, None] * wv[:, None, :]).reshape(
+                    wv.shape[0], wrow.shape[1] * wv.shape[1])
     for h in range(p.n_lead):
         row_base = row_base + starts[h] * p.tstrides[h]
     return row_base, wrow, weights
@@ -747,13 +852,29 @@ def _lead_taps(weights, p: _StageParams):
 
 
 def _resample_chunk(table2, cc, row_offset, p: _StageParams):
-    """Resample one flat chunk of output voxels from the window table."""
-    row_base, wrow, weights = _chunk_weights(cc, p)
+    """Resample one flat chunk of output voxels from the window table.
+
+    128-lane plans reduce against the materialized combined weight row;
+    wider plans (512-lane 3-D) contract the gathered rows one windowed
+    axis at a time against the small per-axis vectors instead — half the
+    stage time (HBM traffic of the (M, lanes) intermediates), at the cost
+    of a different summation association (~1e-7, inside the 1e-5 parity
+    contract; 128-lane plans keep the bitwise-stable joint reduce).
+    """
+    staged = p.lane_count > LANES
+    row_base, wrow, weights = _chunk_weights(cc, p, staged=staged)
     if row_offset is not None:
         row_base = row_base + row_offset
 
     def gather_reduce(rows_idx, w):
         rows = jnp.take(table2, rows_idx, axis=0, mode="clip")
+        if staged:
+            t = rows.reshape(-1, p.channels, *p.widths)
+            for k in range(len(p.widths) - 1, -1, -1):
+                wv = w[k].reshape(w[k].shape[0], 1, *((1,) * k),
+                                  p.widths[k])
+                t = jnp.sum(t * wv, axis=2 + k)
+            return t
         if p.channels == 1:
             return jnp.sum(rows * w, axis=-1, keepdims=True)
         # rows are channel-major (C, lanes) — see _build_table
@@ -1014,9 +1135,14 @@ _windows_op.defvjp(_windows_op_fwd, _windows_op_bwd)
 
 
 def _make_params(padded_spatial, channels, B, naxis, order, out_spatial,
-                 compute_dtype, pad):
-    """Static stage parameters for a given padded-input geometry."""
-    plan = window_plan(naxis, order)
+                 compute_dtype, pad, plan=None):
+    """Static stage parameters for a given padded-input geometry.
+
+    ``plan`` must be the plan the input was padded for; when omitted, the
+    size-blind default ``window_plan(naxis, order)`` is used.
+    """
+    if plan is None:
+        plan = window_plan(naxis, order)
     assert plan is not None
     n_lead, widths, strides = plan
     nw = naxis - n_lead
@@ -1049,7 +1175,7 @@ def _make_params(padded_spatial, channels, B, naxis, order, out_spatial,
 
 def resample_windows_transpose(g, mapped, inside, order: int, out_spatial,
                                compute_dtype, pad: int, padded_spatial,
-                               batched: bool = False):
+                               batched: bool = False, plan=None):
     """Exact transpose of :func:`resample_windows` w.r.t. the padded input.
 
     Args are as in :func:`resample_windows` but with the output cotangent
@@ -1068,7 +1194,7 @@ def resample_windows_transpose(g, mapped, inside, order: int, out_spatial,
     C = g.shape[-1]
     n_out = B * math.prod(out_spatial)
     p = _make_params(tuple(padded_spatial), C, B, naxis, order, out_spatial,
-                     compute_dtype, pad)
+                     compute_dtype, pad, plan)
     cc_flat = jnp.stack([m.reshape(n_out).astype(compute_dtype)
                          for m in mapped], axis=-1)
     g2 = g.reshape(n_out, C).astype(compute_dtype)
@@ -1079,7 +1205,8 @@ def resample_windows_transpose(g, mapped, inside, order: int, out_spatial,
 
 
 def resample_windows(x, mapped, inside, order: int, out_spatial,
-                     compute_dtype, pad: int, batched: bool = False):
+                     compute_dtype, pad: int, batched: bool = False,
+                     plan=None):
     """Window-gather resampling; same contract as resample.resample_linear.
 
     ``x``: (*padded_spatial, C) spline coefficients where each spatial axis
@@ -1105,7 +1232,7 @@ def resample_windows(x, mapped, inside, order: int, out_spatial,
     # _make_params also guards the int32 row indices of _chunk_weights /
     # _row_offsets against tables past 2**31 rows
     p = _make_params(tuple(padded_spatial), C, B, naxis, order, out_spatial,
-                     compute_dtype, pad)
+                     compute_dtype, pad, plan)
 
     cc_flat = jnp.stack([m.reshape(n_out).astype(compute_dtype)
                          for m in mapped], axis=-1)

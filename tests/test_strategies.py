@@ -109,6 +109,36 @@ def test_plan555_equivalence(order, monkeypatch):
 
 
 @pytest.mark.parametrize("order", [0, 1, 2, 3])
+def test_plan888_equivalence(order, monkeypatch):
+    """The 512-lane (8,8,8)/(5,5,5) 3-D geometry (big-volume auto plan)
+    matches the default within f32 association noise: its forward uses
+    the staged per-axis reduction, so taps sum in a different order
+    (1e-6, far inside the 1e-5 reference-parity contract); the backward
+    keeps the joint reduce and stays tap-for-tap."""
+    rng = np.random.default_rng(96)
+    X = rng.random((20, 18, 22))
+    d = rng.standard_normal((3, 3, 3, 3)) * 3
+    gy = rng.random((20, 18, 22))
+    a = ed.deform_grid(X, d, order=order, mode='mirror')
+    ga = ed.deform_grid_gradient(gy, d, order=order, mode='mirror')
+    monkeypatch.setenv("ELASTICDEFORM_TPU_PLAN3D", "888")
+    jax.clear_caches()
+    from elasticdeform_tpu import api as _api
+    _api._jitted_forward.cache_clear()
+    _api._jitted_gradient.cache_clear()
+    try:
+        b = ed.deform_grid(X, d, order=order, mode='mirror')
+        gb = ed.deform_grid_gradient(gy, d, order=order, mode='mirror')
+    finally:
+        monkeypatch.delenv("ELASTICDEFORM_TPU_PLAN3D")
+        jax.clear_caches()
+        _api._jitted_forward.cache_clear()
+        _api._jitted_gradient.cache_clear()
+    np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(ga, gb, rtol=2e-6, atol=2e-6)
+
+
+@pytest.mark.parametrize("order", [0, 1, 2, 3])
 def test_plan2d_432_equivalence(order, monkeypatch):
     """The (4,32)/(1,29) 2-D window geometry (ELASTICDEFORM_TPU_PLAN2D=432)
     is tap-for-tap identical to the default (8,16)/(5,13) plan."""
@@ -181,11 +211,19 @@ def test_concat_build_bit_identical(plan, monkeypatch):
 
 @pytest.mark.parametrize("plan,C", [(((8, 16), (5, 13), 0, (1, (20, 40))), 1),
                                     (((8, 16), (5, 13), 0, (2, (24, 30))), 3),
-                                    (((4, 32), (1, 29), 0, (1, (20, 40))), 1)])
-def test_matmul_build_bit_identical(plan, C, monkeypatch):
+                                    (((4, 32), (1, 29), 0, (1, (20, 40))), 1),
+                                    (((4, 4, 8), (1, 1, 5), 0,
+                                      (1, (14, 16, 18))), 1),
+                                    (((8, 8, 8), (5, 5, 5), 0,
+                                      (2, (14, 16, 18))), 2),
+                                    (((4, 4), (1, 1), 1, (1, (6, 14, 16))),
+                                     1)])
+@pytest.mark.parametrize("split", [False, True])
+def test_matmul_build_bit_identical(plan, C, split, monkeypatch):
     """The selection-matmul table construction (ELASTICDEFORM_TPU_BUILD=
     matmul) must produce the bit-identical table to the im2col conv build
-    (both are exact element copies)."""
+    (both are exact element copies) — including through the bf16x3
+    split path, whose parts survive the selection contractions exactly."""
     from elasticdeform_tpu.ops import windows as W
     widths, strides, n_lead, (B, size) = plan
     rng = np.random.default_rng(17)
@@ -196,6 +234,8 @@ def test_matmul_build_bit_identical(plan, C, monkeypatch):
     monkeypatch.setenv("ELASTICDEFORM_TPU_BUILD", "conv")
     ref, dims_ref = W._build_table_impl(xp, widths, strides, n_lead, True)
     monkeypatch.setenv("ELASTICDEFORM_TPU_BUILD", "matmul")
+    if split:
+        monkeypatch.setattr(W, "_BF16X3", "1")
     got, dims = W._build_table_impl(xp, widths, strides, n_lead, True)
     assert dims == dims_ref
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

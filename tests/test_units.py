@@ -190,3 +190,22 @@ def test_split_bf16x3_elision_proof():
     assert np.abs(mid).max() > 0 and np.abs(lo).max() > 0
     hlo = fn.lower(x).as_text()
     assert "reduce_precision" in hlo
+
+
+def test_spline_filter_select_fuses_pad_exactly():
+    """filter-then-pad == the fused row-selected filter matmul, bitwise:
+    selecting rows of F only duplicates inner products."""
+    import jax.numpy as jnp
+    from elasticdeform_tpu.ops.prefilter import (
+        spline_filter1d, spline_filter1d_select)
+    from elasticdeform_tpu.ops.windows import (
+        window_pad_indices, window_pad_axis)
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.random((17, 23)).astype(np.float32))
+    for order, axis, pad, extra in [(3, 0, 2, 8), (3, 1, 2, 16),
+                                    (5, 0, 3, 8), (2, 1, 1, 4)]:
+        idx = window_pad_indices(x.shape[axis], pad, extra)
+        fused = spline_filter1d_select(x, order, axis, idx)
+        staged = window_pad_axis(spline_filter1d(x, order, axis),
+                                 axis, pad, extra)
+        np.testing.assert_array_equal(np.asarray(fused), np.asarray(staged))

@@ -66,7 +66,7 @@ def main(json_path=None):
     res["prefilter_us"] = dt * 1e6
     print(f"prefilter   : {dt*1e6:8.1f} us", flush=True)
 
-    plan = W.window_plan(3, 3)
+    plan = W.window_plan(3, 3, (N, N, N))
     n_lead, widths, strides = plan
     pad = 2
     padded = tuple(N + 2 * pad + w for w in widths)
@@ -95,7 +95,8 @@ def main(json_path=None):
     res["displacement_us"] = dt * 1e6
     print(f"displacement: {dt*1e6:8.1f} us", flush=True)
 
-    p = W._make_params(padded, 1, 1, 3, 3, (OUT,) * 3, "float32", pad)
+    p = W._make_params(padded, 1, 1, 3, 3, (OUT,) * 3, "float32", pad,
+                       plan=plan)
     table = jax.jit(
         lambda v: W._build_table_impl(v, widths, strides, n_lead)[0])(xps[0])
     tables = jnp.broadcast_to(table, (K, *table.shape))

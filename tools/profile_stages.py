@@ -44,13 +44,13 @@ def timeit(fn, *args, n=5):
 
 def main(batch=64, size=64, order=3, json_path=None):
     stages = {}
-    plan = W.window_plan(3, order)
+    plan = W.window_plan(3, order, (size, size, size))
     n_lead, widths, strides = plan
     from elasticdeform_tpu.ops.resample import pad_amount
     pad = pad_amount(order)
     padded = tuple(size + 2 * pad + e for e in widths)
     p = W._make_params(padded, 1, batch, 3, order, (size,) * 3,
-                       "float32", pad)
+                       "float32", pad, plan=plan)
     print(f"plan: widths={widths} strides={strides} pad={pad} "
           f"rows/sample={p.rows_per_sample} lanes={p.lane_count}",
           flush=True)

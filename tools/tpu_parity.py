@@ -62,6 +62,15 @@ def main():
     b = ed.deform_grid(X3, d3, order=3, mode='mirror', crop=crop)
     ok &= check("3D order=3 crop", b, a, 5e-5)
 
+    # big 3D volume (c3 shape): exercises the 512-lane auto plan with the
+    # bf16x3 matmul build and the staged per-axis gather reduction
+    Xb = rng.random((128, 128, 128))
+    db = rng.standard_normal((3, 3, 3, 3)) * 15
+    cropb = (slice(32, 96),) * 3
+    a = edc.deform_grid(Xb, db, order=3, mode='mirror', crop=cropb)
+    b = ed.deform_grid(Xb, db, order=3, mode='mirror', crop=cropb)
+    ok &= check("3D 128^3 crop (512-lane plan)", b, a, 5e-5)
+
     # 2D rotate/zoom
     Xr = rng.random((80, 90))
     dr = rng.standard_normal((2, 3, 3)) * 10
