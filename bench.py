@@ -84,7 +84,7 @@ def _sync_scalars(out):
 # pairs inside one jit — identical per-image semantics (each scan step IS
 # the single-image call), with the environment's dispatch floor amortized
 # the same way the CPU baseline's timing loop amortizes Python overhead.
-_STREAM_K = 16
+_STREAM_K = 64
 
 
 def _stream(fwd_one, xs_list, ds):

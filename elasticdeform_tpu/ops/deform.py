@@ -44,8 +44,8 @@ from elasticdeform_tpu.ops.resample import (
     resample_linear, cast_output, cast_int_c, pad_amount,
 )
 from elasticdeform_tpu.ops.windows import (
-    window_plan, window_pad_axis, window_pad_indices, window_unpad_axis,
-    resample_windows, resample_windows_transpose,
+    can_fuse_filter_build, window_plan, window_pad_axis, window_pad_indices,
+    window_unpad_axis, resample_windows, resample_windows_transpose,
 )
 
 _DISPLACEMENT_ORDER = 3  # reference deform.c:375
@@ -230,9 +230,24 @@ def _deform_one_linear(xt, cc, ispec: InputSpec, spec: DeformSpec, cdt,
                             spec.out_spatial, cdt)
     else:
         pad = pad_amount(ispec.order)
-        xp = _prefilter_pad_input(xt, ispec, spec, cdt, exact_int, plan)
-        y = resample_windows(xp, mapped, inside, ispec.order,
-                             spec.out_spatial, cdt, pad, plan=plan)
+        int_cast = (np.dtype(ispec.dtype).kind in "bui" and spec.prefilter
+                    and ispec.order > 1)
+        if not int_cast and can_fuse_filter_build(
+                spec.deform_shape, xt.shape[-1], plan, pad, ispec.order,
+                cdt, spec.prefilter):
+            # whole input side (prefilter + window pad + patch expand) as
+            # one matmul per axis inside the windows op; int inputs with a
+            # prefilter keep the staged path (the reference's per-axis
+            # integer writeback cast is nonlinear and cannot compose)
+            order_f = ispec.order if (spec.prefilter and ispec.order > 1) \
+                else 0
+            y = resample_windows(xt.astype(cdt), mapped, inside, ispec.order,
+                                 spec.out_spatial, cdt, pad, plan=plan,
+                                 fuse_filter=order_f)
+        else:
+            xp = _prefilter_pad_input(xt, ispec, spec, cdt, exact_int, plan)
+            y = resample_windows(xp, mapped, inside, ispec.order,
+                                 spec.out_spatial, cdt, pad, plan=plan)
     return y, inside
 
 
@@ -257,9 +272,9 @@ def _deform_one_linear_batched(xt, cc, ispec: InputSpec, spec: DeformSpec,
 def deform_apply(xs, displacement, affine, spec: DeformSpec):
     """Forward deformation for all inputs. Returns a list of outputs."""
     cdt = spec.compute_dtype
-    disp_f = _prefilter_displacement(displacement, cdt)
-    displ = dense_displacement(disp_f, spec.out_spatial, spec.deform_shape,
-                               spec.offsets, cdt)
+    displ = dense_displacement(jnp.asarray(displacement).astype(cdt),
+                               spec.out_spatial, spec.deform_shape,
+                               spec.offsets, cdt, prefilter_grid=True)
     cc = _output_coordinates(spec, displ, affine, cdt)
 
     ys = []
@@ -315,9 +330,9 @@ def deform_apply_batched(xs, displacement, affine, spec: DeformSpec):
     resampling gather keeps its fast 2-D row form.
     """
     cdt = spec.compute_dtype
-    disp_f = jax.vmap(lambda d: _prefilter_displacement(d, cdt))(displacement)
-    displ = jax.vmap(lambda df: dense_displacement(
-        df, spec.out_spatial, spec.deform_shape, spec.offsets, cdt))(disp_f)
+    displ = jax.vmap(lambda d: dense_displacement(
+        jnp.asarray(d).astype(cdt), spec.out_spatial, spec.deform_shape,
+        spec.offsets, cdt, prefilter_grid=True))(displacement)
     cc = _batched_coordinates(spec, displ, affine, cdt)
 
     ys = []
@@ -401,9 +416,9 @@ def deform_gradient_apply(dys, displacement, affine, spec: DeformSpec):
     (:func:`_deform_one_linear_transpose`) — no forward pass is paid.
     """
     cdt = spec.compute_dtype
-    disp_f = _prefilter_displacement(displacement, cdt)
-    displ = dense_displacement(disp_f, spec.out_spatial, spec.deform_shape,
-                               spec.offsets, cdt)
+    displ = dense_displacement(jnp.asarray(displacement).astype(cdt),
+                               spec.out_spatial, spec.deform_shape,
+                               spec.offsets, cdt, prefilter_grid=True)
     cc = _output_coordinates(spec, displ, affine, cdt)
 
     dxs = []

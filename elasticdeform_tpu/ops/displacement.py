@@ -29,12 +29,18 @@ _DORDER = 3  # displacement spline order, hardcoded as in reference deform.c:375
 
 
 @functools.lru_cache(maxsize=None)
-def displacement_matrix(odim: int, ncp: int, idim: int, offset: int) -> np.ndarray:
+def displacement_matrix(odim: int, ncp: int, idim: int, offset: int,
+                        prefilter_grid: bool = False) -> np.ndarray:
     """Interpolation matrix ``W (odim, ncp)``: ``dense = W @ coeffs``.
 
     Row ``j`` holds the order-3 spline weights of output position ``j`` (plus
     crop ``offset``) scattered into the mirror-mapped control-point columns —
     the same taps/weights the reference computes at deform.c:639-647,653-691.
+
+    With ``prefilter_grid=True`` the order-3 control-point prefilter
+    (reference deform_grid.py:165-169) is composed into ``W`` on the host
+    in float64 (``W @ F``), so the caller passes the RAW grid and one
+    matmul per axis replaces prefilter + interpolation.
     """
     if idim <= 1:
         raise ValueError("deformed axes must have at least 2 elements")
@@ -47,14 +53,21 @@ def displacement_matrix(odim: int, ncp: int, idim: int, offset: int) -> np.ndarr
     for tap, w in enumerate(weights):
         cols = mirror_index_np(start + tap, ncp)
         np.add.at(W, (rows, cols), w)
+    if prefilter_grid:
+        from elasticdeform_tpu.ops.prefilter import filter_matrix
+        W = W @ filter_matrix(ncp, _DORDER)
     return W
 
 
-def dense_displacement(displacement_f, out_shape, in_shape, offsets, dtype):
-    """Interpolate the prefiltered control grid to a dense field.
+def dense_displacement(displacement_f, out_shape, in_shape, offsets, dtype,
+                       prefilter_grid: bool = False):
+    """Interpolate the (prefiltered) control grid to a dense field.
 
     Args:
-        displacement_f: (naxis, ncp_0, ..., ncp_{n-1}) prefiltered grid.
+        displacement_f: (naxis, ncp_0, ..., ncp_{n-1}) grid — prefiltered
+            coefficients, or the raw grid with ``prefilter_grid=True``
+            (the prefilter matrices then compose into the interpolation
+            matmuls on the host; one kernel per axis instead of two).
         out_shape: static output spatial shape over the deformed axes.
         in_shape: static *uncropped* input spatial shape (the ``cp`` formula
             always divides by the full extent, reference deform.c:643).
@@ -67,7 +80,7 @@ def dense_displacement(displacement_f, out_shape, in_shape, offsets, dtype):
     out = jnp.asarray(displacement_f, dtype=dtype)
     for h in range(naxis):
         W = displacement_matrix(out_shape[h], out.shape[h + 1], in_shape[h],
-                                offsets[h])
+                                offsets[h], prefilter_grid)
         # Precision.HIGHEST: TPU matmuls default to bf16, which would put
         # ~4e-3 noise on the displacement field (breaks 1e-5 parity)
         out = jnp.moveaxis(

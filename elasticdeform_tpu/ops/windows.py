@@ -522,6 +522,25 @@ def _build_table_concat(xp, widths, strides, n_lead, batched):
 
 
 @functools.lru_cache(maxsize=None)
+def _filter_expand_matrix(n: int, T: int, w: int, s: int, pad: int,
+                          extra: int, order: int):
+    """(n, T*w) fused prefilter + mirror-pad + window-expand matrix.
+
+    Column ``t*w + u`` is row ``pad_idx[t*s + u]`` of the ``n x n`` spline
+    prefilter matrix (identity for order <= 1): prefilter, window padding,
+    and patch extraction along one axis in a single contraction. Because
+    padding and expansion only SELECT rows of ``F``, every column's inner
+    product is exactly the staged pipeline's computation (float64, cast at
+    upload). The composition is a selection matrix iff order <= 1.
+    """
+    from elasticdeform_tpu.ops.prefilter import filter_matrix
+    pad_idx = window_pad_indices(n, pad, extra)
+    pos = (np.arange(T)[:, None] * s + np.arange(w)[None, :]).reshape(-1)
+    F = filter_matrix(n, order)
+    return np.ascontiguousarray(F[pad_idx[pos]].T)
+
+
+@functools.lru_cache(maxsize=None)
 def _expand_matrix(P: int, T: int, w: int, s: int, dtype_name: str):
     """(P, T*w) selection matrix: column ``t*w + u`` picks input ``t*s + u``.
 
@@ -577,7 +596,7 @@ def _matmul_build_eligible(xp, widths, strides, n_lead, batched) -> bool:
     return True
 
 
-def _build_table_matmul(xp, widths, strides, n_lead, batched):
+def _build_table_matmul(xp, widths, strides, n_lead, batched, fuse=None):
     """N-D window-table build as per-axis one-hot selection matmuls.
 
     Each windowed axis is expanded by contracting it with a ``(P, T*w)``
@@ -592,6 +611,12 @@ def _build_table_matmul(xp, widths, strides, n_lead, batched):
     and each part is bf16-representable, so the parts survive every stage
     exactly; the final ordered sum ``(hi + mid) + lo`` reconstructs f32
     exactly and fuses into the assembling transpose.
+
+    ``fuse=(order, pad)``: ``xp`` is the RAW input; the spline prefilter
+    and the window mirror-padding compose into each axis's expansion
+    matrix (:func:`_filter_expand_matrix`) — the whole input side of the
+    forward becomes ``nw`` matmuls + one transpose. Requires
+    ``n_lead == 0``; caller gates via :func:`can_fuse_filter_build`.
     """
     nbatch = xp.shape[0] if batched else 1
     spatial = xp.shape[1:-1] if batched else xp.shape[:-1]
@@ -599,13 +624,22 @@ def _build_table_matmul(xp, widths, strides, n_lead, batched):
     naxis = len(spatial)
     nw = naxis - n_lead
     lanes = math.prod(widths)
-    counts = [(spatial[n_lead + k] - widths[k]) // strides[k] + 1
-              for k in range(nw)]
+    if fuse is not None:
+        # xp is the RAW (unfiltered, unpadded) input; each axis contracts
+        # with the fused prefilter+pad+expand matrix instead (n_lead == 0)
+        order, pad = fuse
+        counts = [(spatial[k] + 2 * pad) // strides[k] + 1
+                  for k in range(nw)]
+    else:
+        counts = [(spatial[n_lead + k] - widths[k]) // strides[k] + 1
+                  for k in range(nw)]
     lead_dims = spatial[:n_lead]
     batch = nbatch * max(math.prod(lead_dims), 1)
     x = xp.reshape(batch, *spatial[n_lead:], C)
 
-    split = _use_bf16x3(x.dtype, x.size)
+    # the dense prefilter rows invalidate the "selections only copy"
+    # argument, so the exact split only serves unfiltered fusions
+    split = _use_bf16x3(x.dtype, x.size) and (fuse is None or order <= 1)
     if split:
         parts = _split_bf16x3(x)
         # part index minor within each channel: (..., C*3)
@@ -618,9 +652,15 @@ def _build_table_matmul(xp, widths, strides, n_lead, batched):
     for k in range(nw):
         # 0/1 entries are exactly representable in every dtype; numpy has
         # no bfloat16, so build f32 and cast at upload (like _patch_kernel)
-        E_np = _expand_matrix(spatial[n_lead + k], counts[k], widths[k],
-                              strides[k],
-                              "float32" if split else x.dtype.name)
+        if fuse is not None:
+            E_np = _filter_expand_matrix(
+                spatial[k], counts[k], widths[k], strides[k], pad,
+                widths[k], order).astype(
+                    "float32" if split else x.dtype.name)
+        else:
+            E_np = _expand_matrix(spatial[n_lead + k], counts[k], widths[k],
+                                  strides[k],
+                                  "float32" if split else x.dtype.name)
         E = jnp.asarray(E_np, jnp.bfloat16) if split else jnp.asarray(E_np)
         # contract the current leading spatial axis (always position 1);
         # its (T_k * w_k) expansion lands as the new trailing axis, so
@@ -643,7 +683,33 @@ def _build_table_matmul(xp, widths, strides, n_lead, batched):
             tuple(lead_dims) + tuple(counts))
 
 
-def _build_table_impl(xp, widths, strides, n_lead, batched=False):
+def can_fuse_filter_build(raw_spatial, channels, plan, pad, order,
+                          compute_dtype, prefilter: bool) -> bool:
+    """May the prefilter+pad+expand chain fuse into the build matmuls?
+
+    Requires: windows cover every axis (n_lead == 0), the selection-matmul
+    build is the auto winner for the VIRTUAL padded geometry (single
+    sample under the intermediate cap), and — when a real filter is fused
+    (order > 1 with prefilter) — the bf16x3 split would not engage (the
+    dense filter rows break its exactness argument, and HIGHEST 6-pass
+    dense builds lose to split selection builds on big volumes).
+    """
+    if _build_mode() not in ("auto", "matmul"):
+        return False
+    n_lead, widths, strides = plan
+    if n_lead != 0:
+        return False
+    padded = tuple(n + 2 * pad + w for n, w in zip(raw_spatial, widths))
+    fake = jax.ShapeDtypeStruct((*padded, channels), jnp.dtype(compute_dtype))
+    if not _matmul_build_eligible(fake, widths, strides, 0, False):
+        return False
+    if prefilter and order > 1:
+        return not _use_bf16x3(jnp.dtype(compute_dtype),
+                               math.prod(padded) * channels)
+    return True
+
+
+def _build_table_impl(xp, widths, strides, n_lead, batched=False, fuse=None):
     """Expand padded input (*spatial, C) into the overlapping window table.
 
     Implemented as a grouped convolution with a one-hot kernel — the
@@ -666,6 +732,11 @@ def _build_table_impl(xp, widths, strides, n_lead, batched=False):
     nw = naxis - n_lead
     lanes = math.prod(widths)
 
+    if fuse is not None:
+        # fused prefilter+pad+expand only exists as matmuls (gated by
+        # can_fuse_filter_build at the caller)
+        return _build_table_matmul(xp, widths, strides, n_lead, batched,
+                                   fuse)
     mode = _build_mode()
     if mode == "concat" and _concat_eligible(widths, strides, C):
         return _build_table_concat(xp, widths, strides, n_lead, batched)
@@ -1062,30 +1133,42 @@ def _scatter_fold(g, cc_flat, p: _StageParams, padded_spatial, batched):
     return jnp.concatenate(parts, axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _windows_op(xp, cc_flat, p: _StageParams, padded_spatial, batched):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _windows_op(xp, cc_flat, p: _StageParams, padded_spatial, batched,
+                fuse=None):
     """Fused table-build + window-gather with a hand-written adjoint.
 
-    Primal: the one-hot grouped conv (im2col) followed by the streamed
-    gather-reduce. Backward w.r.t. ``xp``: scatter + fold per sample group
-    (:func:`_scatter_fold`) — XLA's own transposes were measured 3-20x
-    slower (scan-carried table accumulation at 13 M rows/s, lhs-dilated
-    transposed conv at 280 ms), and keeping the two stages in one op avoids
-    materializing the full table cotangent between them. Backward w.r.t.
-    ``cc_flat``: forward-mode through the differentiable spline weights on
-    a recomputed table (dead-code-eliminated when displacement gradients
-    are not requested).
+    Primal: the table build (selection matmuls or one-hot grouped im2col
+    conv) followed by the streamed gather-reduce. Backward w.r.t. ``xp``:
+    scatter + fold per sample group (:func:`_scatter_fold`) — XLA's own
+    transposes were measured 3-20x slower (scan-carried table accumulation
+    at 13 M rows/s, lhs-dilated transposed conv at 280 ms), and keeping
+    the two stages in one op avoids materializing the full table cotangent
+    between them. Backward w.r.t. ``cc_flat``: forward-mode through the
+    differentiable spline weights on a recomputed table
+    (dead-code-eliminated when displacement gradients are not requested).
+
+    ``fuse=(order, raw_spatial)``: ``xp`` is the raw input and the
+    prefilter+pad chain folds into the build (see _build_table_matmul);
+    the backward then appends the per-axis fused un-pad +
+    transpose-prefilter contractions after the fold.
     """
-    table2, _ = _build_table_impl(xp, p.widths, p.strides, p.n_lead, batched)
+    table2, _ = _build_table_impl(xp, p.widths, p.strides, p.n_lead, batched,
+                                  _op_fuse(fuse, p))
     return _stage_primal(table2, cc_flat, p)
 
 
-def _windows_op_fwd(xp, cc_flat, p, padded_spatial, batched):
-    table2, _ = _build_table_impl(xp, p.widths, p.strides, p.n_lead, batched)
+def _op_fuse(fuse, p: _StageParams):
+    return None if fuse is None else (fuse[0], p.pad)
+
+
+def _windows_op_fwd(xp, cc_flat, p, padded_spatial, batched, fuse=None):
+    table2, _ = _build_table_impl(xp, p.widths, p.strides, p.n_lead, batched,
+                                  _op_fuse(fuse, p))
     return _stage_primal(table2, cc_flat, p), (xp, cc_flat)
 
 
-def _windows_op_bwd(p, padded_spatial, batched, res, g):
+def _windows_op_bwd(p, padded_spatial, batched, fuse, res, g):
     xp, cc_flat = res
     naxis = cc_flat.shape[-1]
     B = max(p.nbatch, 1)
@@ -1093,6 +1176,22 @@ def _windows_op_bwd(p, padded_spatial, batched, res, g):
     group = _bwd_group(p)
 
     d_xp = _scatter_fold(g, cc_flat, p, padded_spatial, batched)
+    if fuse is not None:
+        # adjoint of the fused prefilter+pad: contract each padded axis
+        # back to the raw extent with the transposed row-selected filter
+        # matrix (identity rows for order <= 1)
+        from elasticdeform_tpu.ops.prefilter import filter_matrix
+        order, raw_spatial = fuse
+        bo = 1 if batched else 0
+        for d in range(naxis - 1, -1, -1):
+            idx = window_pad_indices(raw_spatial[d], p.pad,
+                                     p.widths[d - p.n_lead])
+            Ft = filter_matrix(raw_spatial[d], order)[idx].T
+            m = jnp.asarray(Ft, d_xp.dtype)
+            d_xp = jnp.moveaxis(
+                jnp.tensordot(m, d_xp, axes=[[1], [d + bo]],
+                              precision=jax.lax.Precision.HIGHEST),
+                0, d + bo)
 
     if os.environ.get("ELASTICDEFORM_TPU_SKIP_DCC", "0") == "1":
         # measurement-only escape hatch: skip the displacement-gradient
@@ -1102,7 +1201,8 @@ def _windows_op_bwd(p, padded_spatial, batched, res, g):
     # --- d_cc: forward-mode through the weight polynomials on a recomputed
     # table (rebuild ~43 ms vs keeping a multi-GB residual; XLA eliminates
     # all of it when the caller does not use displacement gradients) ---
-    table2, _ = _build_table_impl(xp, p.widths, p.strides, p.n_lead, batched)
+    table2, _ = _build_table_impl(xp, p.widths, p.strides, p.n_lead, batched,
+                                  _op_fuse(fuse, p))
     d_ccs = []
     for b0 in range(0, B, group):
         gsz = min(group, B - b0)
@@ -1206,7 +1306,7 @@ def resample_windows_transpose(g, mapped, inside, order: int, out_spatial,
 
 def resample_windows(x, mapped, inside, order: int, out_spatial,
                      compute_dtype, pad: int, batched: bool = False,
-                     plan=None):
+                     plan=None, fuse_filter=None):
     """Window-gather resampling; same contract as resample.resample_linear.
 
     ``x``: (*padded_spatial, C) spline coefficients where each spatial axis
@@ -1223,12 +1323,27 @@ def resample_windows(x, mapped, inside, order: int, out_spatial,
     (chunk, 128) gathered-rows/lane-weight intermediates stay bounded; the
     table build + gather run as one custom-adjoint op
     (see :func:`_windows_op`).
+
+    ``fuse_filter``: spline order whose prefilter folds into the build —
+    ``x`` is then the RAW (*spatial, C) input (caller gates via
+    :func:`can_fuse_filter_build`); the op contracts each axis with the
+    fused prefilter+pad+expand matrix instead of expecting padding.
     """
     naxis = len(mapped)
     B = x.shape[0] if batched else 1
     n_out = B * math.prod(out_spatial)
     C = x.shape[-1]
-    padded_spatial = x.shape[1:-1] if batched else x.shape[:-1]
+    raw_spatial = x.shape[1:-1] if batched else x.shape[:-1]
+    if fuse_filter is not None:
+        if plan is None:
+            plan = window_plan(naxis, order)
+        widths = plan[1]
+        padded_spatial = tuple(n + 2 * pad + w
+                               for n, w in zip(raw_spatial, widths))
+        fuse = (fuse_filter, tuple(raw_spatial))
+    else:
+        padded_spatial = raw_spatial
+        fuse = None
     # _make_params also guards the int32 row indices of _chunk_weights /
     # _row_offsets against tables past 2**31 rows
     p = _make_params(tuple(padded_spatial), C, B, naxis, order, out_spatial,
@@ -1236,7 +1351,7 @@ def resample_windows(x, mapped, inside, order: int, out_spatial,
 
     cc_flat = jnp.stack([m.reshape(n_out).astype(compute_dtype)
                          for m in mapped], axis=-1)
-    acc = _windows_op(x, cc_flat, p, tuple(padded_spatial), batched)
+    acc = _windows_op(x, cc_flat, p, tuple(padded_spatial), batched, fuse)
     if inside is not None:
         # constant-mode mask applied outside the custom op so its cotangent
         # flows as a plain elementwise multiply

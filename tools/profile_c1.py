@@ -65,10 +65,8 @@ def main(json_path=None):
     print(f"prefilter   : {dt*1e6:7.1f} us", flush=True)
 
     def disp(dd):
-        for ax in range(1, 3):
-            dd = spline_filter1d(dd, 3, ax)
         return dense_displacement(dd, (200, 300), (200, 300), (0, 0),
-                                  jnp.float32)
+                                  jnp.float32, prefilter_grid=True)
     dt = stream_time(disp, ds)
     res["displacement_us"] = dt * 1e6
     print(f"displacement: {dt*1e6:7.1f} us", flush=True)

@@ -87,10 +87,8 @@ def main(json_path=None):
     print(f"window pad  : {dt*1e6:8.1f} us", flush=True)
 
     def disp(dd):
-        for ax in range(1, 4):
-            dd = spline_filter1d(dd, 3, ax)
         return dense_displacement(dd, (OUT,) * 3, (N,) * 3, (32,) * 3,
-                                  jnp.float32)
+                                  jnp.float32, prefilter_grid=True)
     dt = stream_time(disp, ds)
     res["displacement_us"] = dt * 1e6
     print(f"displacement: {dt*1e6:8.1f} us", flush=True)
