@@ -696,6 +696,8 @@ def can_fuse_filter_build(raw_spatial, channels, plan, pad, order,
     """
     if _build_mode() not in ("auto", "matmul"):
         return False
+    if os.environ.get("ELASTICDEFORM_TPU_FUSE_BUILD", "1") == "0":
+        return False   # A/B + regression escape hatch: staged pipeline
     n_lead, widths, strides = plan
     if n_lead != 0:
         return False

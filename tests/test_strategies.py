@@ -239,3 +239,39 @@ def test_matmul_build_bit_identical(plan, C, split, monkeypatch):
     got, dims = W._build_table_impl(xp, widths, strides, n_lead, True)
     assert dims == dims_ref
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+@pytest.mark.parametrize("order,mode,prefilter",
+                         [(3, 'mirror', True), (3, 'constant', True),
+                          (0, 'reflect', True), (2, 'wrap', False),
+                          (5, 'nearest', True)])
+def test_fused_build_matches_staged(order, mode, prefilter, monkeypatch):
+    """The fused prefilter+pad+expand build (default) must match the
+    staged pipeline (ELASTICDEFORM_TPU_FUSE_BUILD=0): padding/expansion
+    only select rows of the filter matrix, so each output is the same
+    inner product. Forward and gradient, 2-D and 3-D."""
+    from elasticdeform_tpu import api as _api
+
+    def clear():
+        jax.clear_caches()
+        _api._jitted_forward.cache_clear()
+        _api._jitted_gradient.cache_clear()
+
+    rng = np.random.default_rng(41)
+    for shape, dgrid in [((30, 26), (2, 3, 3)), ((14, 16, 18), (3, 3, 3, 3))]:
+        X = rng.random(shape)
+        d = rng.standard_normal(dgrid) * 4
+        gy = rng.random(shape)
+        kw = dict(order=order, mode=mode, prefilter=prefilter)
+        a = ed.deform_grid(X, d, **kw)
+        ga = ed.deform_grid_gradient(gy, d, **kw)
+        monkeypatch.setenv("ELASTICDEFORM_TPU_FUSE_BUILD", "0")
+        clear()
+        try:
+            b = ed.deform_grid(X, d, **kw)
+            gb = ed.deform_grid_gradient(gy, d, **kw)
+        finally:
+            monkeypatch.delenv("ELASTICDEFORM_TPU_FUSE_BUILD")
+            clear()
+        np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-10)
+        np.testing.assert_allclose(ga, gb, rtol=1e-10, atol=1e-10)
