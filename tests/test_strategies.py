@@ -275,3 +275,17 @@ def test_fused_build_matches_staged(order, mode, prefilter, monkeypatch):
             clear()
         np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-10)
         np.testing.assert_allclose(ga, gb, rtol=1e-10, atol=1e-10)
+
+
+def test_window_plan_size_aware_auto():
+    """PLAN3D=auto: big single volumes whose default-plan table would
+    exceed the VMEM gather-staging cap get the 512-lane low-expansion
+    plan; small volumes keep (4,4,8). Callers without a size keep the
+    default (their padding must agree with downstream params)."""
+    assert window_plan(3, 3, (64, 64, 64)) == (0, (4, 4, 8), (1, 1, 5))
+    assert window_plan(3, 3, (128, 128, 128)) == (0, (8, 8, 8), (5, 5, 5))
+    assert window_plan(3, 3) == (0, (4, 4, 8), (1, 1, 5))
+    # order > 3 keeps the lead-loop plan regardless of size
+    assert window_plan(3, 4, (128, 128, 128))[0] == 1
+    # 4-D: plan decided by the trailing three axes' extent
+    assert window_plan(4, 3, (2, 128, 128, 128))[1] == (8, 8, 8)
