@@ -263,9 +263,21 @@ def _deform_one_linear_batched(xt, cc, ispec: InputSpec, spec: DeformSpec,
     naxis = len(mapped)
     plan = window_plan(naxis, ispec.order, spec.deform_shape)
     pad = pad_amount(ispec.order)
-    xp = _prefilter_pad_input(xt, ispec, spec, cdt, exact_int, plan, bo=1)
-    y = resample_windows(xp, mapped, inside, ispec.order, spec.out_spatial,
-                         cdt, pad, batched=True, plan=plan)
+    int_cast = (np.dtype(ispec.dtype).kind in "bui" and spec.prefilter
+                and ispec.order > 1)
+    if not int_cast and can_fuse_filter_build(
+            spec.deform_shape, xt.shape[-1], plan, pad, ispec.order,
+            cdt, spec.prefilter, nbatch=xt.shape[0]):
+        order_f = ispec.order if (spec.prefilter and ispec.order > 1) else 0
+        y = resample_windows(xt.astype(cdt), mapped, inside, ispec.order,
+                             spec.out_spatial, cdt, pad, batched=True,
+                             plan=plan, fuse_filter=order_f)
+    else:
+        xp = _prefilter_pad_input(xt, ispec, spec, cdt, exact_int, plan,
+                                  bo=1)
+        y = resample_windows(xp, mapped, inside, ispec.order,
+                             spec.out_spatial, cdt, pad, batched=True,
+                             plan=plan)
     return y, inside
 
 

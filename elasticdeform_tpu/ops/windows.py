@@ -684,15 +684,16 @@ def _build_table_matmul(xp, widths, strides, n_lead, batched, fuse=None):
 
 
 def can_fuse_filter_build(raw_spatial, channels, plan, pad, order,
-                          compute_dtype, prefilter: bool) -> bool:
+                          compute_dtype, prefilter: bool,
+                          nbatch: int = 1) -> bool:
     """May the prefilter+pad+expand chain fuse into the build matmuls?
 
     Requires: windows cover every axis (n_lead == 0), the selection-matmul
-    build is the auto winner for the VIRTUAL padded geometry (single
-    sample under the intermediate cap), and — when a real filter is fused
-    (order > 1 with prefilter) — the bf16x3 split would not engage (the
-    dense filter rows break its exactness argument, and HIGHEST 6-pass
-    dense builds lose to split selection builds on big volumes).
+    build is the auto winner for the VIRTUAL padded geometry (batched 3-D
+    is not; see _matmul_build_eligible), and — when a real filter is
+    fused (order > 1 with prefilter) — the bf16x3 split would not engage
+    (the dense filter rows break its exactness argument, and HIGHEST
+    6-pass dense builds lose to split selection builds on big volumes).
     """
     if _build_mode() not in ("auto", "matmul"):
         return False
@@ -702,12 +703,14 @@ def can_fuse_filter_build(raw_spatial, channels, plan, pad, order,
     if n_lead != 0:
         return False
     padded = tuple(n + 2 * pad + w for n, w in zip(raw_spatial, widths))
-    fake = jax.ShapeDtypeStruct((*padded, channels), jnp.dtype(compute_dtype))
-    if not _matmul_build_eligible(fake, widths, strides, 0, False):
+    batched = nbatch > 1
+    shape = (nbatch, *padded, channels) if batched else (*padded, channels)
+    fake = jax.ShapeDtypeStruct(shape, jnp.dtype(compute_dtype))
+    if not _matmul_build_eligible(fake, widths, strides, 0, batched):
         return False
     if prefilter and order > 1:
         return not _use_bf16x3(jnp.dtype(compute_dtype),
-                               math.prod(padded) * channels)
+                               nbatch * math.prod(padded) * channels)
     return True
 
 
