@@ -52,13 +52,35 @@ from elasticdeform_tpu.ops.deform import (
 from elasticdeform_tpu.ops.displacement import (
     dense_displacement, displacement_matrix,
 )
-from elasticdeform_tpu.ops.prefilter import spline_filter1d
+from elasticdeform_tpu.ops.prefilter import (
+    spline_filter1d, spline_filter1d_select,
+)
 from elasticdeform_tpu.ops.resample import pad_amount, cast_output
 from elasticdeform_tpu.ops.windows import (
-    window_plan, window_pad_axis, resample_windows,
+    window_plan, window_pad_axis, window_pad_indices, resample_windows,
 )
 
 _DORDER = 3
+
+
+def _prefilter_pad_block(block, naxis, order, prefilter, plan, pad):
+    """Prefilter + window-pad one shard block ((*spatial, 1) layout).
+
+    When an axis runs a prefilter matmul, the window padding folds into
+    it as a row selection of the filter matrix — one kernel per axis,
+    bit-identical to filter-then-pad (duplicated rows compute the same
+    inner products; see ops.prefilter.spline_filter1d_select). Axes
+    without a filter keep the concat pad.
+    """
+    n_lead, widths, _ = plan
+    for d in range(naxis):
+        extra = widths[d - n_lead] if d >= n_lead else 0
+        if prefilter and order > 1:
+            idx = window_pad_indices(block.shape[d], pad, extra)
+            block = spline_filter1d_select(block, order, d, idx)
+        else:
+            block = window_pad_axis(block, d, pad, extra)
+    return block
 
 # slab-local prefilter halo per order: ceil(ln(1e-9) / ln(|p_max|)) for the
 # largest IIR pole of each order (reference deform.c:1063-1084 poles:
@@ -243,17 +265,9 @@ def _spatial_crop_impl(mesh, x, displacement, max_displacement, order, mode,
     n_lead, widths, strides = plan
     pad = pad_amount(order)
 
-    def _prefilter_block(block):
-        if prefilter and order > 1:
-            for d in range(naxis):
-                block = spline_filter1d(block, order, d)
-        return block
-
-    def _window_pad(block):
-        for h in range(naxis):
-            extra = widths[h - n_lead] if h >= n_lead else 0
-            block = window_pad_axis(block, h, pad, extra)
-        return block
+    def _pp_block(block):
+        return _prefilter_pad_block(block, naxis, order, prefilter,
+                                    plan, pad)
 
     out_spatial = (s_out,) + tuple(b - a for a, b in bounds[1:])
 
@@ -282,7 +296,7 @@ def _spatial_crop_impl(mesh, x, displacement, max_displacement, order, mode,
             # taps away from the cut (+ _PREFILTER_HALO when prefiltering),
             # so neither the fake padding nor the IIR boundary init is
             # visible at 1e-9
-            slabs.append(_window_pad(_prefilter_block(W)[..., None]))
+            slabs.append(_pp_block(W[..., None]))
         disp_f = _prefilter_displacement(disp, cdt)
 
         # dense displacement at global output positions: axis 0 offset is
@@ -377,18 +391,9 @@ def _spatial_impl(mesh, x, displacement, max_displacement, order, mode,
     pad = pad_amount(order)
     extra0 = widths[0 - n_lead] if 0 >= n_lead else 0
 
-    def _prefilter_block(block):
-        if prefilter and order > 1:
-            for d in range(naxis):
-                block = spline_filter1d(block, order, d)
-        return block
-
-    def _window_pad(block):
-        """Mirror + window padding on every axis (block: (*spatial, 1))."""
-        for h in range(naxis):
-            extra = widths[h - n_lead] if h >= n_lead else 0
-            block = window_pad_axis(block, h, pad, extra)
-        return block
+    def _pp_block(block):
+        return _prefilter_pad_block(block, naxis, order, prefilter,
+                                    plan, pad)
 
     def local_fn(disp, *x_locals):
         r = jax.lax.axis_index(axis_name)
@@ -410,13 +415,13 @@ def _spatial_impl(mesh, x, displacement, max_displacement, order, mode,
             right = jnp.where(r == n - 1, mirror_right, from_right)
             slab = jnp.concatenate([left, x_local, right], axis=0)
             # --- prefilter (slab-local; halo absorbs the IIR tail) ---
-            xp = _window_pad(_prefilter_block(slab)[..., None])
+            xp = _pp_block(slab[..., None])
             if wrap:
                 # seam strips: rank n-1's from_right IS the volume head,
                 # rank 0's from_left IS the volume tail; on other ranks the
                 # strip content is unused (their voxels never cross-fold)
-                head = _window_pad(_prefilter_block(from_right)[..., None])
-                tail = _window_pad(_prefilter_block(from_left)[..., None])
+                head = _pp_block(from_right[..., None])
+                tail = _pp_block(from_left[..., None])
                 xp = jnp.concatenate([xp, head, tail], axis=0)
             slabs.append(xp)
         disp_f = _prefilter_displacement(disp, cdt)
@@ -685,17 +690,9 @@ def _spatial_nd_impl(mesh, x, displacement, max_displacement, order, mode,
     n_lead, widths, strides = plan
     pad = pad_amount(order)
 
-    def _prefilter_block(block):
-        if prefilter and order > 1:
-            for d in range(naxis):
-                block = spline_filter1d(block, order, d)
-        return block
-
-    def _window_pad(block):
-        for h in range(naxis):
-            extra = widths[h - n_lead] if h >= n_lead else 0
-            block = window_pad_axis(block, h, pad, extra)
-        return block
+    def _pp_block(block):
+        return _prefilter_pad_block(block, naxis, order, prefilter,
+                                    plan, pad)
 
     def local_fn(disp, *x_locals):
         rs = [jax.lax.axis_index(a) for a in axis_names]
@@ -729,7 +726,7 @@ def _spatial_nd_impl(mesh, x, displacement, max_displacement, order, mode,
                     parts += [from_right, from_left]  # head, tail strips
                 tile = jnp.moveaxis(jnp.concatenate(parts, axis=0), 0, k)
             if not wrap:
-                slabs.append(_window_pad(_prefilter_block(tile)[..., None]))
+                slabs.append(_pp_block(tile[..., None]))
                 continue
             # wrap: the sharded axes now carry the raw layout
             # [left|main|right|head|tail]; prefilter + window-pad each of
@@ -743,7 +740,7 @@ def _spatial_nd_impl(mesh, x, displacement, max_displacement, order, mode,
             def build(k, slicer):
                 if k == K:
                     blk = tile[tuple(slicer)]
-                    return _window_pad(_prefilter_block(blk)[..., None])
+                    return _pp_block(blk[..., None])
                 return jnp.concatenate(
                     [build(k + 1, slicer + [slice(a, b)])
                      for a, b in ranges[k]], axis=k)
