@@ -688,12 +688,14 @@ def can_fuse_filter_build(raw_spatial, channels, plan, pad, order,
                           nbatch: int = 1) -> bool:
     """May the prefilter+pad+expand chain fuse into the build matmuls?
 
-    Requires: windows cover every axis (n_lead == 0), the selection-matmul
-    build is the auto winner for the VIRTUAL padded geometry (batched 3-D
-    is not; see _matmul_build_eligible), and — when a real filter is
-    fused (order > 1 with prefilter) — the bf16x3 split would not engage
-    (the dense filter rows break its exactness argument, and HIGHEST
-    6-pass dense builds lose to split selection builds on big volumes).
+    Requires: windows cover every axis (n_lead == 0) and the
+    selection-matmul build being the auto winner for the VIRTUAL padded
+    geometry (batched 3-D is not; see _matmul_build_eligible). When a
+    real filter is fused (order > 1 with prefilter) the build runs dense
+    HIGHEST — the bf16x3 split's exactness argument needs selections —
+    but this still WINS end-to-end: on the 128^3 888-plan geometry the
+    dense fused build is 2.10 ms vs 2.68 split-selection build + ~1.5 ms
+    staged fused filter+pad (tools/probe_build888.py, r3).
     """
     if _build_mode() not in ("auto", "matmul"):
         return False
@@ -706,12 +708,7 @@ def can_fuse_filter_build(raw_spatial, channels, plan, pad, order,
     batched = nbatch > 1
     shape = (nbatch, *padded, channels) if batched else (*padded, channels)
     fake = jax.ShapeDtypeStruct(shape, jnp.dtype(compute_dtype))
-    if not _matmul_build_eligible(fake, widths, strides, 0, batched):
-        return False
-    if prefilter and order > 1:
-        return not _use_bf16x3(jnp.dtype(compute_dtype),
-                               nbatch * math.prod(padded) * channels)
-    return True
+    return _matmul_build_eligible(fake, widths, strides, 0, batched)
 
 
 def _build_table_impl(xp, widths, strides, n_lead, batched=False, fuse=None):
