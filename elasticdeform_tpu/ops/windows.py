@@ -626,7 +626,8 @@ def _build_table_matmul(xp, widths, strides, n_lead, batched, fuse=None):
     lanes = math.prod(widths)
     if fuse is not None:
         # xp is the RAW (unfiltered, unpadded) input; each axis contracts
-        # with the fused prefilter+pad+expand matrix instead (n_lead == 0)
+        # with the fused prefilter+pad+expand matrix instead
+        assert n_lead == 0, "filter fusion requires all-windowed axes"
         order, pad = fuse
         counts = [(spatial[k] + 2 * pad) // strides[k] + 1
                   for k in range(nw)]
@@ -714,13 +715,16 @@ def can_fuse_filter_build(raw_spatial, channels, plan, pad, order,
 def _build_table_impl(xp, widths, strides, n_lead, batched=False, fuse=None):
     """Expand padded input (*spatial, C) into the overlapping window table.
 
-    Implemented as a grouped convolution with a one-hot kernel — the
-    classic im2col, placed on the MXU (a pure data-movement matmul). This
-    beats slice-and-stack construction by >1000x on TPU: 128 separate
-    strided-slice copies each have a unit minor dimension, which the
-    (8, 128) tile layout pads 128x (measured 20 ms / 64^3 volume and a
-    262 GB allocation at batch 64); the conv emits one feature-minor
-    (..., 128)-dense result directly.
+    Dispatches between the bit-identical constructions (see _build_mode):
+    per-axis selection matmuls (2-D and single-sample 3-D; with ``fuse``
+    the prefilter+pad compose into the matrices and ``xp`` is the raw
+    input) and the one-hot grouped im2col conv (batched 3-D). Both are
+    pure data movement through the MXU and beat slice-and-stack
+    construction by >1000x on TPU: 128 separate strided-slice copies
+    each have a unit minor dimension, which the (8, 128) tile layout
+    pads 128x (measured 20 ms / 64^3 volume and a 262 GB allocation at
+    batch 64); both builds emit feature-minor (..., 128)-dense rows
+    directly.
 
     Returns (table2, table_dims) where ``table2`` is
     ``(n_rows, C * prod(widths))`` with rows laid out channel-major
