@@ -143,13 +143,20 @@ def resolve_affine(affine, rotate, zoom, axis, output_shapes):
 
 def build_spec(Xs, axis, deform_shape, output_shapes, output_offset,
                orders, modes, cvals, prefilter, displacement_dtype,
-               has_affine, compute_dtype=None, strategy="auto"):
+               has_affine, compute_dtype=None, strategy="auto",
+               table_dtype=None):
     """Assemble the static :class:`DeformSpec` for a call."""
     assert strategy in ("auto", "windows", "gather"), \
         "strategy must be 'auto', 'windows' or 'gather'"
     if compute_dtype is None:
         compute_dtype = default_compute_dtype(
             displacement_dtype, *[x.dtype for x in Xs])
+    if table_dtype is not None:
+        table_dtype = np.dtype(table_dtype).name if table_dtype != "bfloat16" \
+            else "bfloat16"
+        if table_dtype not in ("bfloat16", "float32", "float64"):
+            raise ValueError(
+                "table_dtype must be a float dtype (got %r)" % table_dtype)
     out_spatial = tuple(output_shapes[0][d] for d in axis[0])
     inputs = tuple(
         InputSpec(
@@ -172,4 +179,5 @@ def build_spec(Xs, axis, deform_shape, output_shapes, output_offset,
         compute_dtype=str(compute_dtype),
         has_affine=bool(has_affine),
         strategy=str(strategy),
+        table_dtype=str(table_dtype or ""),
     )

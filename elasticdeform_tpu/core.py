@@ -25,7 +25,7 @@ from elasticdeform_tpu.ops.deform import deform_apply, deform_gradient_apply
 
 
 def _prepare(X, displacement, order, mode, cval, crop, prefilter, axis,
-             affine, rotate, zoom, strategy="auto"):
+             affine, rotate, zoom, strategy="auto", table_dtype=None):
     Xs = _n.normalize_inputs(X)
     axis, deform_shape = _n.normalize_axis_list(axis, Xs)
     output_shapes, output_offset = _n.compute_output_shapes(
@@ -38,13 +38,13 @@ def _prepare(X, displacement, order, mode, cval, crop, prefilter, axis,
     spec = _n.build_spec(Xs, axis, deform_shape, output_shapes, output_offset,
                          orders, modes, cvals, prefilter,
                          displacement.dtype, inv_affine is not None,
-                         strategy=strategy)
+                         strategy=strategy, table_dtype=table_dtype)
     return Xs, displacement, inv_affine, spec
 
 
 def deform(X, displacement, *, order=3, mode='constant', cval=0.0, crop=None,
            prefilter=True, axis=None, affine=None, rotate=None, zoom=None,
-           strategy="auto"):
+           strategy="auto", table_dtype=None):
     """Elastic deformation with a control-point displacement grid.
 
     JAX-native core of the library: pure and traceable — use it inside
@@ -66,10 +66,17 @@ def deform(X, displacement, *, order=3, mode='constant', cval=0.0, crop=None,
     * The result is differentiable w.r.t. ``X`` *and* — beyond reference
       parity — w.r.t. ``displacement`` (the reference refuses
       displacement gradients, reference tf.py:47, torch.py:29).
+    * ``table_dtype='bfloat16'`` enables the opt-in fast-augmentation
+      mode: the resampling window table is stored and gathered in
+      bfloat16, halving the bytes of the byte-bound gather stage. Output
+      error is ~2^-8 relative (the coordinates, spline weights,
+      prefilter and the backward scatter stay full precision) — suited
+      to data augmentation, NOT to the 1e-5 reference-parity contract.
+      Default ``None`` keeps everything exact.
     """
     Xs, displacement, inv_affine, spec = _prepare(
         X, displacement, order, mode, cval, crop, prefilter, axis, affine,
-        rotate, zoom, strategy)
+        rotate, zoom, strategy, table_dtype)
     ys = deform_apply([jnp.asarray(x) for x in Xs], displacement, inv_affine,
                       spec)
     return ys if isinstance(X, list) else ys[0]
@@ -139,7 +146,8 @@ class _Shaped:
 
 def deform_batch(X, displacement, *, order=3, mode='constant', cval=0.0,
                  crop=None, prefilter=True, axis=None, affine=None,
-                 rotate=None, zoom=None, strategy="auto", batch_impl="auto"):
+                 rotate=None, zoom=None, strategy="auto", batch_impl="auto",
+                 table_dtype=None):
     """Batched elastic deformation with per-sample displacement grids.
 
     ``X``: (B, *image_shape) array (or list of such arrays sharing the
@@ -184,7 +192,7 @@ def deform_batch(X, displacement, *, order=3, mode='constant', cval=0.0,
     spec = _n.build_spec(samples, axis_n, deform_shape, output_shapes,
                          output_offset, orders, modes, cvals, prefilter,
                          displacement.dtype, inv_affine is not None,
-                         strategy=strategy)
+                         strategy=strategy, table_dtype=table_dtype)
 
     windows_ok = strategy in ("auto", "windows") and all(
         window_plan(len(i.axis), i.order) is not None for i in spec.inputs)

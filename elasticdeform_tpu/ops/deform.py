@@ -77,6 +77,9 @@ class DeformSpec:
     # (overlapping-row gather fast path, ops/windows.py), or 'gather'
     # (per-tap element gathers, ops/resample.py)
     strategy: str = "auto"
+    # opt-in fast-augmentation mode: window-table values stored/gathered
+    # in this narrower dtype ('' = compute dtype; see core.deform docs)
+    table_dtype: str = ""
 
 
 def default_compute_dtype(*dtypes) -> str:
@@ -243,11 +246,13 @@ def _deform_one_linear(xt, cc, ispec: InputSpec, spec: DeformSpec, cdt,
                 else 0
             y = resample_windows(xt.astype(cdt), mapped, inside, ispec.order,
                                  spec.out_spatial, cdt, pad, plan=plan,
-                                 fuse_filter=order_f)
+                                 fuse_filter=order_f,
+                                 table_dtype=spec.table_dtype)
         else:
             xp = _prefilter_pad_input(xt, ispec, spec, cdt, exact_int, plan)
             y = resample_windows(xp, mapped, inside, ispec.order,
-                                 spec.out_spatial, cdt, pad, plan=plan)
+                                 spec.out_spatial, cdt, pad, plan=plan,
+                                 table_dtype=spec.table_dtype)
     return y, inside
 
 
@@ -271,13 +276,14 @@ def _deform_one_linear_batched(xt, cc, ispec: InputSpec, spec: DeformSpec,
         order_f = ispec.order if (spec.prefilter and ispec.order > 1) else 0
         y = resample_windows(xt.astype(cdt), mapped, inside, ispec.order,
                              spec.out_spatial, cdt, pad, batched=True,
-                             plan=plan, fuse_filter=order_f)
+                             plan=plan, fuse_filter=order_f,
+                             table_dtype=spec.table_dtype)
     else:
         xp = _prefilter_pad_input(xt, ispec, spec, cdt, exact_int, plan,
                                   bo=1)
         y = resample_windows(xp, mapped, inside, ispec.order,
                              spec.out_spatial, cdt, pad, batched=True,
-                             plan=plan)
+                             plan=plan, table_dtype=spec.table_dtype)
     return y, inside
 
 

@@ -861,6 +861,12 @@ class _StageParams(NamedTuple):
     n_out_s: int           # output voxels per sample
     rows_per_sample: int
     nbatch: int            # 1 when not batched
+    # opt-in fast-augmentation mode: store/gather window-table VALUES in
+    # this narrower dtype ("" = compute_dtype). Halves the bytes of the
+    # byte-bound gather stage at ~2^-8 relative output error; the
+    # coordinates, spline weights, prefilter and adjoint stay full
+    # precision
+    table_dtype: str = ""
 
 
 def _chunk_weights(cc, p: _StageParams, staged: bool = False):
@@ -1139,6 +1145,17 @@ def _scatter_fold(g, cc_flat, p: _StageParams, padded_spatial, batched):
     return jnp.concatenate(parts, axis=0)
 
 
+def _cast_table(table2, p: _StageParams):
+    """Apply the opt-in narrow table dtype (fast-augmentation mode).
+
+    XLA fuses the cast into the build's final stage, so the table is
+    WRITTEN narrow and every subsequent row gather moves half the bytes;
+    the weighted reduction promotes back to the compute dtype."""
+    if p.table_dtype and p.table_dtype != p.compute_dtype:
+        return table2.astype(p.table_dtype)
+    return table2
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _windows_op(xp, cc_flat, p: _StageParams, padded_spatial, batched,
                 fuse=None):
@@ -1161,7 +1178,7 @@ def _windows_op(xp, cc_flat, p: _StageParams, padded_spatial, batched,
     """
     table2, _ = _build_table_impl(xp, p.widths, p.strides, p.n_lead, batched,
                                   _op_fuse(fuse, p))
-    return _stage_primal(table2, cc_flat, p)
+    return _stage_primal(_cast_table(table2, p), cc_flat, p)
 
 
 def _op_fuse(fuse, p: _StageParams):
@@ -1171,7 +1188,7 @@ def _op_fuse(fuse, p: _StageParams):
 def _windows_op_fwd(xp, cc_flat, p, padded_spatial, batched, fuse=None):
     table2, _ = _build_table_impl(xp, p.widths, p.strides, p.n_lead, batched,
                                   _op_fuse(fuse, p))
-    return _stage_primal(table2, cc_flat, p), (xp, cc_flat)
+    return _stage_primal(_cast_table(table2, p), cc_flat, p), (xp, cc_flat)
 
 
 def _windows_op_bwd(p, padded_spatial, batched, fuse, res, g):
@@ -1209,6 +1226,7 @@ def _windows_op_bwd(p, padded_spatial, batched, fuse, res, g):
     # all of it when the caller does not use displacement gradients) ---
     table2, _ = _build_table_impl(xp, p.widths, p.strides, p.n_lead, batched,
                                   _op_fuse(fuse, p))
+    table2 = _cast_table(table2, p)
     d_ccs = []
     for b0 in range(0, B, group):
         gsz = min(group, B - b0)
@@ -1241,7 +1259,7 @@ _windows_op.defvjp(_windows_op_fwd, _windows_op_bwd)
 
 
 def _make_params(padded_spatial, channels, B, naxis, order, out_spatial,
-                 compute_dtype, pad, plan=None):
+                 compute_dtype, pad, plan=None, table_dtype=""):
     """Static stage parameters for a given padded-input geometry.
 
     ``plan`` must be the plan the input was padded for; when omitted, the
@@ -1276,7 +1294,8 @@ def _make_params(padded_spatial, channels, B, naxis, order, out_spatial,
                         lane_count=lane_count,
                         compute_dtype=str(compute_dtype),
                         n_out_s=math.prod(out_spatial),
-                        rows_per_sample=rows_per_sample, nbatch=B)
+                        rows_per_sample=rows_per_sample, nbatch=B,
+                        table_dtype=str(table_dtype or ""))
 
 
 def resample_windows_transpose(g, mapped, inside, order: int, out_spatial,
@@ -1312,7 +1331,7 @@ def resample_windows_transpose(g, mapped, inside, order: int, out_spatial,
 
 def resample_windows(x, mapped, inside, order: int, out_spatial,
                      compute_dtype, pad: int, batched: bool = False,
-                     plan=None, fuse_filter=None):
+                     plan=None, fuse_filter=None, table_dtype=""):
     """Window-gather resampling; same contract as resample.resample_linear.
 
     ``x``: (*padded_spatial, C) spline coefficients where each spatial axis
@@ -1353,7 +1372,7 @@ def resample_windows(x, mapped, inside, order: int, out_spatial,
     # _make_params also guards the int32 row indices of _chunk_weights /
     # _row_offsets against tables past 2**31 rows
     p = _make_params(tuple(padded_spatial), C, B, naxis, order, out_spatial,
-                     compute_dtype, pad, plan)
+                     compute_dtype, pad, plan, table_dtype)
 
     cc_flat = jnp.stack([m.reshape(n_out).astype(compute_dtype)
                          for m in mapped], axis=-1)

@@ -211,3 +211,35 @@ def test_remat_compatible():
     g_remat = jax.grad(jax.checkpoint(loss))(X)
     np.testing.assert_allclose(np.asarray(g_plain), np.asarray(g_remat),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_table_dtype_fast_mode():
+    """table_dtype='bfloat16' (fast augmentation): window-table values are
+    stored/gathered narrow — output within ~2^-7 of the exact path, same
+    shapes, gradients finite; default path unaffected."""
+    rng = np.random.default_rng(31)
+    X = jnp.asarray(rng.random((40, 36)).astype(np.float32))
+    d = jnp.asarray((rng.standard_normal((2, 3, 3)) * 6).astype(np.float32))
+    exact = ed.deform(X, d, order=3, mode='mirror')
+    fast = ed.deform(X, d, order=3, mode='mirror', table_dtype='bfloat16')
+    assert fast.dtype == exact.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                               rtol=2e-2, atol=2e-2)
+    assert float(jnp.max(jnp.abs(fast - exact))) > 0  # narrow path engaged
+
+    g = jax.grad(lambda x: jnp.sum(ed.deform(
+        x, d, order=3, mode='mirror', table_dtype='bfloat16') ** 2))(X)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+    # batched twin
+    Xb = jnp.asarray(rng.random((3, 24, 26)).astype(np.float32))
+    db = jnp.asarray((rng.standard_normal((3, 2, 3, 3)) * 4)
+                     .astype(np.float32))
+    yb = ed.deform_batch(Xb, db, order=3, mode='mirror',
+                         table_dtype='bfloat16')
+    ye = ed.deform_batch(Xb, db, order=3, mode='mirror')
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(ye),
+                               rtol=2e-2, atol=2e-2)
+
+    with pytest.raises(ValueError):
+        ed.deform(X, d, table_dtype='int32')

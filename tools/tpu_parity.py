@@ -135,5 +135,68 @@ def main():
     return 0 if ok else 1
 
 
+def fuzz(n, seed=0):
+    """Randomized differential sweep vs the reference C extension.
+
+    Samples random (ndim, shape, points, sigma, order, mode, prefilter,
+    crop, channel-axis, rotate/zoom) configurations; checks the forward
+    for every config and the hand-written gradient path for ~a third.
+    Order-0 outputs compare by mismatch fraction (f32 rounding near
+    half-integer coordinates legitimately flips single voxels).
+    """
+    print(jax.devices(), flush=True)
+    rng = np.random.default_rng(seed)
+    ok = True
+    for i in range(n):
+        ndim = int(rng.integers(2, 4))
+        shape = tuple(int(rng.integers(20, 70)) for _ in range(ndim))
+        points = int(rng.integers(3, 6))
+        sigma = float(rng.uniform(2, 15))
+        order = int(rng.integers(0, 6))
+        mode = ["mirror", "reflect", "wrap", "nearest",
+                "constant"][int(rng.integers(5))]
+        prefilter = bool(rng.integers(2))
+        cval = float(rng.uniform(-1, 1)) if mode == "constant" else 0.0
+        kw = dict(order=order, mode=mode, cval=cval, prefilter=prefilter)
+        if rng.random() < 0.5:
+            kw["crop"] = tuple(
+                slice(int(a), int(a) + int(rng.integers(8, s - a)))
+                for s, a in ((s, rng.integers(0, s - 10)) for s in shape))
+        if ndim == 2 and rng.random() < 0.25:
+            kw["rotate"] = float(rng.uniform(-45, 45))
+            kw["zoom"] = float(rng.uniform(0.7, 1.5))
+        chan = ndim == 2 and rng.random() < 0.25
+        full = ((2, *shape) if chan else shape)
+        X = rng.random(full)
+        if chan:
+            kw["axis"] = (1, 2)
+        d = rng.standard_normal((ndim, *([points] * ndim))) * sigma
+        name = (f"fuzz{i:03d} {ndim}D o{order} {mode[:4]} pf{int(prefilter)}"
+                f" {'crop' if 'crop' in kw else '    '}"
+                f"{' rz' if 'rotate' in kw else ''}{' ch' if chan else ''}")
+        a = edc.deform_grid(X, d, **kw)
+        b = ed.deform_grid(X, d, **kw)
+        if order == 0:
+            frac = (np.abs(np.asarray(b) - a) > 1e-6).mean()
+            good = frac < 0.01
+            print(f"{'ok  ' if good else 'FAIL'} {name} frac {frac:.4f}",
+                  flush=True)
+            ok &= good
+        else:
+            ok &= check(name, b, a, 5e-5)
+        if order > 0 and "rotate" not in kw and rng.random() < 0.35:
+            out_shape = np.asarray(a).shape
+            gy = rng.random(out_shape)
+            gkw = {k: v for k, v in kw.items() if k not in ("rotate", "zoom")}
+            ga = edc.deform_grid_gradient(gy, d, X_shape=full, **gkw)
+            gb = ed.deform_grid_gradient(gy, d, X_shape=full, **gkw)
+            ok &= check(name + " grad", gb, ga, 5e-5)
+    print("PASS" if ok else "FAIL", flush=True)
+    return 0 if ok else 1
+
+
 if __name__ == "__main__":
+    if "--fuzz" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--fuzz") + 1])
+        sys.exit(fuzz(n))
     sys.exit(main())
