@@ -254,7 +254,20 @@ def print_readme_table():
 def main(argv):
     if "--readme" in argv:
         print_readme_table()
-    elif "--all" in argv:
+        return
+    # Fail fast when the TPU tunnel is wedged: PJRT init then BLOCKS
+    # ~25 min inside jax.devices() (holding jax's global backend lock)
+    # instead of raising. Probe out-of-process with a deadline so a dead
+    # tunnel yields a clear error instead of a silent multi-hour hang.
+    from elasticdeform_tpu.runtime import probe_default_backend
+    timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "180"))
+    if probe_default_backend(timeout) == 0:
+        print(f"ERROR: default JAX backend unusable (no device transfer "
+              f"within {timeout:.0f}s) — TPU tunnel down? Not benchmarking "
+              "on a fallback backend; fix the device and re-run.",
+              file=sys.stderr, flush=True)
+        raise SystemExit(2)
+    if "--all" in argv:
         names = [a for a in argv if a in CONFIGS] or list(CONFIGS)
         here = os.path.dirname(os.path.abspath(__file__))
         path = os.path.join(here, "bench_results.json")
