@@ -39,6 +39,7 @@ from elasticdeform_tpu.ops.displacement import dense_displacement
 from elasticdeform_tpu.ops.prefilter import (
     spline_filter1d, spline_filter1d_select,
     spline_filter1d_select_transpose, spline_filter1d_transpose,
+    use_scan_filter,
 )
 from elasticdeform_tpu.ops.resample import (
     resample_linear, cast_output, cast_int_c, pad_amount,
@@ -191,11 +192,18 @@ def _prefilter_pad_input(xt, ispec: InputSpec, spec: DeformSpec, cdt,
     int_like = np.dtype(ispec.dtype).kind in "bui"
     for d in range(naxis):
         extra = widths[d - n_lead] if d >= n_lead else 0
-        if filtered:
+        if filtered and not use_scan_filter(xf.shape[d + bo], ispec.order):
             idx = window_pad_indices(xf.shape[d + bo], pad, extra)
             xf = spline_filter1d_select(xf, ispec.order, d + bo, idx)
             if exact_int and int_like:
                 xf = cast_int_c(xf, ispec.dtype)
+        elif filtered:
+            # huge axis: O(log n) scan filter + concat pad instead of the
+            # O(n^2) fused filter-matrix row selection
+            xf = spline_filter1d(xf, ispec.order, d + bo)
+            if exact_int and int_like:
+                xf = cast_int_c(xf, ispec.dtype)
+            xf = window_pad_axis(xf, d + bo, pad, extra)
         else:
             xf = window_pad_axis(xf, d + bo, pad, extra)
     return xf
@@ -415,10 +423,15 @@ def _deform_one_linear_transpose(dyt, cc, ispec: InputSpec, spec: DeformSpec,
     d_xf = d_xp
     for d in range(naxis - 1, -1, -1):
         extra = widths[d - n_lead] if d >= n_lead else 0
-        if filtered:
+        if filtered and not use_scan_filter(spatial[d], ispec.order):
             idx = window_pad_indices(spatial[d], pad, extra)
             d_xf = spline_filter1d_select_transpose(
                 d_xf, ispec.order, d, idx, spatial[d])
+        elif filtered:
+            # mirror of the forward's scan-filter + pad on huge axes:
+            # slice-add un-pad, then the scan's machine transpose
+            d_xf = window_unpad_axis(d_xf, d, spatial[d], pad, extra)
+            d_xf = spline_filter1d_transpose(d_xf, ispec.order, d)
         else:
             d_xf = window_unpad_axis(d_xf, d, spatial[d], pad, extra)
     return d_xf

@@ -20,10 +20,12 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 # Truncation tolerance of the recursion initialization, matching both SciPy
 # and the reference (deform.c:1046 ``TOLERANCE 1e-15``).
@@ -129,15 +131,146 @@ def _apply_matrix(x, mat: np.ndarray, axis: int):
     return jnp.moveaxis(out, 0, axis)
 
 
+# ---------------------------------------------------------------------------
+# associative_scan IIR path for very large axes
+#
+# The dense filter matrix costs O(n) flops per voxel per axis and O(n^2)
+# memory for the matrix itself — fine for the sizes this library targets
+# (<= ~2K per axis, where one MXU matmul beats everything), but wrong
+# asymptotics for 8K+ axes. The recursion itself is first-order linear
+# with a CONSTANT coefficient per pole, so it maps onto
+# ``lax.associative_scan`` over affine maps (a, b) with composition
+# ``(a1*a2, a2*b1 + b2)``: O(log n) depth, O(n) memory, identical
+# mathematics to the reference recursion (deform.c:1087-1115) including
+# the truncated-horizon mirror boundary initializations. SURVEY.md §7
+# names exactly this formulation for the scan-unfriendly IIR.
+
+def _scan_min_n() -> int:
+    """Axis length from which the prefilter switches to associative_scan.
+
+    Default 8192: below that the dense HIGHEST matmul is competitive on
+    the MXU and bit-stable, and the n x n matrix stays small; above, the
+    matrix itself becomes the problem (8192^2 f32 = 256 MiB per (n,
+    order) cache entry). Override with
+    ``ELASTICDEFORM_TPU_PREFILTER_SCAN_MIN`` (0 disables the scan path).
+    """
+    v = int(os.environ.get("ELASTICDEFORM_TPU_PREFILTER_SCAN_MIN", "8192"))
+    return v if v > 0 else (1 << 62)
+
+
+def use_scan_filter(n: int, order: int) -> bool:
+    """True when the (order>1) prefilter along an axis of length ``n``
+    should run as an associative scan instead of a dense matmul. Callers
+    that fuse the filter matrix with selections (window padding, patch
+    expansion) must fall back to staged pipelines when this is set."""
+    return order > 1 and n >= _scan_min_n()
+
+
+def _first_order_scan(b, p: float, reverse: bool):
+    """Solve ``y[k] = b[k] + p * y[k +/- 1]`` along axis 0 (zero init).
+
+    ``reverse=False``: causal, y[0] = b[0]; ``reverse=True``:
+    anti-causal, y[n-1] = b[n-1]. Linear in ``b`` (``p`` is static), so
+    ``jax.linear_transpose`` of the caller yields the exact adjoint.
+    """
+    a = jnp.full((b.shape[0],) + (1,) * (b.ndim - 1), p, dtype=b.dtype)
+
+    def combine(c1, c2):
+        a1, b1 = c1
+        a2, b2 = c2
+        return a1 * a2, a2 * b1 + b2
+
+    _, y = lax.associative_scan(combine, (a, b), reverse=reverse)
+    return y
+
+
+def _filter_axis0_scan(x, order: int):
+    """Scan-formulated prefilter along axis 0 (same math as
+    :func:`_filter_lines`; requires ``n > horizon``, which the
+    :func:`use_scan_filter` gate guarantees by a wide margin)."""
+    poles = spline_poles(order)
+    n = x.shape[0]
+    weight = 1.0
+    for p in poles:
+        weight *= (1.0 - p) * (1.0 - 1.0 / p)
+    y = x * x.dtype.type(weight)
+    for p in poles:
+        horizon = int(np.ceil(np.log(_TOLERANCE) / np.log(abs(p))))
+        # causal init (mirror boundary, truncated): y0 = sum p^k y[k]
+        coef = jnp.asarray(p ** np.arange(horizon), y.dtype)
+        y0 = jnp.tensordot(coef, y[:horizon], axes=[[0], [0]],
+                           precision=jax.lax.Precision.HIGHEST)
+        y = _first_order_scan(y.at[0].set(y0), p, reverse=False)
+        # anti-causal init + recursion y[k] = -p*y[k] + p*y[k+1]
+        last = (p / (p * p - 1.0)) * (y[n - 1] + p * y[n - 2])
+        b = (-p) * y
+        y = _first_order_scan(b.at[n - 1].set(last), p, reverse=True)
+    return y
+
+
+def _apply_scan(x, order: int, axis: int):
+    x = jnp.asarray(x)
+    xm = jnp.moveaxis(x, axis, 0)
+    return jnp.moveaxis(_filter_axis0_scan(xm, order), 0, axis)
+
+
+def _filter_axis0_scan_transpose(ct, order: int):
+    """Exact adjoint of :func:`_filter_axis0_scan`, written stage by
+    stage (jax.linear_transpose over the scan aborts in eager XLA-CPU).
+
+    Per pole the forward is ``A @ C`` with
+    ``C = L E`` (E: identity with row 0 the truncated-horizon init row;
+    L: causal scan, lower-triangular Toeplitz ``p^(i-j)``) and
+    ``A = U G`` (G: ``-p I`` except the anti-causal init row n-1;
+    U: reverse scan, upper-triangular Toeplitz ``p^(j-i)``). The adjoint
+    runs poles in reverse, each as ``Cᵀ Aᵀ = (Eᵀ Lᵀ)(Gᵀ Uᵀ)`` — the same
+    two associative scans with directions swapped plus the transposed
+    init rows.
+    """
+    poles = spline_poles(order)
+    n = ct.shape[0]
+    weight = 1.0
+    for p in poles:
+        weight *= (1.0 - p) * (1.0 - 1.0 / p)
+    y = jnp.asarray(ct)
+    for p in reversed(poles):
+        c = p / (p * p - 1.0)
+        # Aᵀ: Uᵀ is the causal scan; then Gᵀ
+        z = _first_order_scan(y, p, reverse=False)
+        g = (-p) * z
+        g = g.at[n - 2].add(c * p * z[n - 1])
+        g = g.at[n - 1].set(c * z[n - 1])
+        # Cᵀ: Lᵀ is the reverse scan; then Eᵀ
+        z = _first_order_scan(g, p, reverse=True)
+        horizon = int(np.ceil(np.log(_TOLERANCE) / np.log(abs(p))))
+        coef = jnp.asarray(p ** np.arange(1, horizon), z.dtype)
+        bshape = (horizon - 1,) + (1,) * (z.ndim - 1)
+        y = z.at[1:horizon].add(coef.reshape(bshape) * z[0])
+    return y * y.dtype.type(weight)
+
+
+def _apply_scan_transpose(ct, order: int, axis: int):
+    """Exact adjoint of :func:`_apply_scan` (same shape in and out);
+    forward/backward pairs satisfy the adjoint identity at machine
+    precision (tests/test_prefilter_scan.py)."""
+    ct = jnp.asarray(ct)
+    cm = jnp.moveaxis(ct, axis, 0)
+    return jnp.moveaxis(_filter_axis0_scan_transpose(cm, order), 0, axis)
+
+
 def spline_filter1d(x, order: int, axis: int):
     """Device-side equivalent of ``scipy.ndimage.spline_filter1d`` (mirror).
 
     Forward prefilter used before interpolation for ``order > 1``
-    (reference deform_grid.py:154-169). Runs as one MXU matmul.
+    (reference deform_grid.py:154-169). Runs as one MXU matmul, or as an
+    O(log n)-depth associative scan past the :func:`use_scan_filter`
+    axis-length gate.
     """
     if order <= 1:
         return jnp.asarray(x)
     n = x.shape[axis]
+    if use_scan_filter(n, order):
+        return _apply_scan(x, order, axis)
     return _apply_matrix(x, filter_matrix(n, order), axis)
 
 
@@ -178,6 +311,8 @@ def spline_filter1d_transpose(x, order: int, axis: int):
     if order <= 1:
         return jnp.asarray(x)
     n = x.shape[axis]
+    if use_scan_filter(n, order):
+        return _apply_scan_transpose(x, order, axis)
     return _apply_matrix(x, filter_matrix(n, order).T, axis)
 
 

@@ -578,6 +578,16 @@ def _matmul_build_eligible(xp, widths, strides, n_lead, batched) -> bool:
     C = xp.shape[-1]
     nw = len(spatial) - n_lead
     if nw == 2:
+        # the per-axis (counts*w, n) selection matrix itself must stay
+        # bounded: at n >= ~8K it reaches GiB scale and the conv build
+        # (O(w) kernel, no n x n operand) takes over
+        for k in range(nw):
+            counts_k = (spatial[n_lead + k] - widths[k]) // strides[k] + 1
+            # element count; at f32 this caps the matrix at 4x
+            # _MM_BUILD_CAP bytes (256 MiB default) — n <= ~4K stays
+            # eligible (probed winners), ~8K+ falls to the conv build
+            if counts_k * widths[k] * spatial[n_lead + k] > _MM_BUILD_CAP:
+                return False
         return True
     if nw != 3:
         return False
@@ -702,6 +712,10 @@ def can_fuse_filter_build(raw_spatial, channels, plan, pad, order,
         return False
     if os.environ.get("ELASTICDEFORM_TPU_FUSE_BUILD", "1") == "0":
         return False   # A/B + regression escape hatch: staged pipeline
+    if prefilter and order > 1:
+        from elasticdeform_tpu.ops.prefilter import use_scan_filter
+        if any(use_scan_filter(n, order) for n in raw_spatial):
+            return False   # huge axis: scan prefilter, no dense F to fuse
     n_lead, widths, strides = plan
     if n_lead != 0:
         return False
