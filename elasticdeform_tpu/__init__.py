@@ -37,6 +37,7 @@ from elasticdeform_tpu.api import (
 from elasticdeform_tpu.core import (
     deform,
     deform_batch,
+    deform_batch_gradient,
     deform_gradient,
     random_displacement,
     deform_random,
@@ -50,6 +51,7 @@ __all__ = [
     "deform_grid_gradient",
     "deform",
     "deform_batch",
+    "deform_batch_gradient",
     "deform_gradient",
     "random_displacement",
     "deform_random",

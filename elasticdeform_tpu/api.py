@@ -34,6 +34,28 @@ def _jitted_gradient(spec):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=512)
+def _jitted_batch_forward(spec, use_native):
+    from elasticdeform_tpu.ops.deform import deform_apply, \
+        deform_apply_batched
+
+    def fn(xs, displacement, affine):
+        if use_native:
+            return deform_apply_batched(list(xs), displacement, affine, spec)
+        per = lambda xs_s, d, a: deform_apply(list(xs_s), d, a, spec)
+        return jax.vmap(per, in_axes=(0, 0, None))(xs, displacement, affine)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=512)
+def _jitted_batch_gradient(spec):
+    def fn(dys, displacement, affine):
+        per = lambda dys_s, d, a: deform_gradient_apply(
+            list(dys_s), d, a, spec)
+        return jax.vmap(per, in_axes=(0, 0, None))(dys, displacement, affine)
+    return jax.jit(fn)
+
+
 def _to_device(arrays):
     return tuple(jnp.asarray(a) for a in arrays)
 
@@ -273,6 +295,78 @@ rotate, zoom, strategy
                          displacement.dtype, inv_affine is not None,
                          strategy=strategy)
     fn = _jitted_gradient(spec)
+    dxs = fn(_to_device(dYs), jnp.asarray(displacement),
+             None if inv_affine is None else jnp.asarray(inv_affine))
+    outputs = _to_host(dxs, [np.dtype(dy.dtype) for dy in dYs])
+    return outputs if isinstance(dY, list) else outputs[0]
+
+
+def deform_batch(X, displacement, order=3, mode='constant', cval=0.0,
+                 crop=None, prefilter=True, axis=None, affine=None,
+                 rotate=None, zoom=None, *, strategy="auto",
+                 batch_impl="auto", table_dtype=None):
+    """Batched :func:`deform_grid`: numpy in, numpy out, jit-cached.
+
+    ``X``: ``(B, *image_shape)`` array (or list of such arrays sharing the
+    deformation); ``displacement``: ``(B, naxis, *points)`` per-sample
+    control grids. All other parameters are shared across the batch and
+    follow :func:`deform_grid` (``axis``/``crop`` indices refer to the
+    per-sample shape). Numpy wrapper over the JAX-native
+    :func:`elasticdeform_tpu.deform_batch` — each static configuration
+    compiles once and is cached, so this is safe to call per training
+    step from host frameworks (the ``elasticdeform_tpu.torch`` / ``.tf``
+    batched shims route here).
+    """
+    from elasticdeform_tpu.core import _prepare_batch
+
+    Xs, inv_affine, spec, use_native, _ = _prepare_batch(
+        X, displacement, order, mode, cval, crop, prefilter, axis, affine,
+        rotate, zoom, strategy, table_dtype, batch_impl)
+    fn = _jitted_batch_forward(spec, use_native)
+    ys = fn(_to_device(Xs), jnp.asarray(displacement),
+            None if inv_affine is None else jnp.asarray(inv_affine))
+    outputs = _to_host(ys, [np.dtype(x.dtype) for x in Xs])
+    return outputs if isinstance(X, list) else outputs[0]
+
+
+def deform_batch_gradient(dY, displacement, order=3, mode='constant',
+                          cval=0.0, crop=None, prefilter=True, axis=None,
+                          X_shape=None, affine=None, rotate=None, zoom=None,
+                          *, strategy="auto"):
+    """Batched :func:`deform_grid_gradient`: numpy in, numpy out.
+
+    Backward-only exact adjoint of :func:`deform_batch` w.r.t. the
+    inputs: maps batched output cotangents ``dY`` (``(B, *output_shape)``
+    or a list) to batched input cotangents given the per-sample
+    ``displacement`` grids of the forward call. ``X_shape`` is the
+    *per-sample* uncropped input shape(s), required when ``crop`` was
+    used; all other parameters must match the forward call (see
+    :func:`deform_grid_gradient` for their semantics).
+    """
+    from elasticdeform_tpu.core import _Shaped, _prepare_batch
+
+    dYs = _n.normalize_inputs(dY)
+    B = int(dYs[0].shape[0])
+    if isinstance(X_shape, tuple):
+        X_shape = [X_shape]
+    elif X_shape is None:
+        if crop is not None:
+            raise ValueError(
+                "X_shape is required if the crop parameter is given.")
+        X_shape = [tuple(int(s) for s in dy.shape[1:]) for dy in dYs]
+
+    fakes = [_Shaped((B, *s), dy.dtype) for s, dy in zip(X_shape, dYs)]
+    _, inv_affine, spec, _, output_shapes = _prepare_batch(
+        fakes, _Shaped((B, *displacement.shape[1:]), displacement.dtype),
+        order, mode, cval, crop, prefilter, axis, affine, rotate, zoom,
+        strategy, None, "auto")
+    if [tuple(s) for s in output_shapes] != \
+            [tuple(int(d) for d in dy.shape[1:]) for dy in dYs]:
+        raise ValueError("X_shape does not match output shape and cropping. "
+                         "Expected output shape is %s, but %s given."
+                         % (str(output_shapes),
+                            str([tuple(dy.shape[1:]) for dy in dYs])))
+    fn = _jitted_batch_gradient(spec)
     dxs = fn(_to_device(dYs), jnp.asarray(displacement),
              None if inv_affine is None else jnp.asarray(inv_affine))
     outputs = _to_host(dxs, [np.dtype(dy.dtype) for dy in dYs])

@@ -144,6 +144,42 @@ class _Shaped:
         self.dtype = dtype
 
 
+def _prepare_batch(X, displacement, order, mode, cval, crop, prefilter,
+                   axis, affine, rotate, zoom, strategy, table_dtype,
+                   batch_impl):
+    """Shared normalization for the batched forward/gradient entry points:
+    returns ``(Xs, inv_affine, spec, use_native, output_shapes)`` with the
+    spec built on the per-sample shapes."""
+    from elasticdeform_tpu.ops.windows import window_plan
+
+    Xs = _n.normalize_inputs(X)
+    B = int(Xs[0].shape[0])
+    assert all(int(x.shape[0]) == B for x in Xs), \
+        'All inputs should have the same batch size.'
+    assert int(displacement.shape[0]) == B, \
+        'displacement must have a leading batch axis matching X.'
+
+    samples = [_Shaped(x.shape[1:], x.dtype) for x in Xs]
+    axis_n, deform_shape = _n.normalize_axis_list(axis, samples)
+    output_shapes, output_offset = _n.compute_output_shapes(
+        samples, axis_n, deform_shape, crop)
+    disp_sample = _Shaped(displacement.shape[1:], displacement.dtype)
+    _n.normalize_displacement(disp_sample, samples, axis_n)
+    orders = _n.normalize_order(order, samples)
+    modes = _n.normalize_mode(mode, samples)
+    cvals = _n.normalize_cval(cval, samples)
+    inv_affine = _n.resolve_affine(affine, rotate, zoom, axis_n,
+                                   output_shapes)
+    spec = _n.build_spec(samples, axis_n, deform_shape, output_shapes,
+                         output_offset, orders, modes, cvals, prefilter,
+                         displacement.dtype, inv_affine is not None,
+                         strategy=strategy, table_dtype=table_dtype)
+    windows_ok = strategy in ("auto", "windows") and all(
+        window_plan(len(i.axis), i.order) is not None for i in spec.inputs)
+    use_native = batch_impl in ("native", "auto") and windows_ok
+    return Xs, inv_affine, spec, use_native, output_shapes
+
+
 def deform_batch(X, displacement, *, order=3, mode='constant', cval=0.0,
                  crop=None, prefilter=True, axis=None, affine=None,
                  rotate=None, zoom=None, strategy="auto", batch_impl="auto",
@@ -169,34 +205,10 @@ def deform_batch(X, displacement, *, order=3, mode='constant', cval=0.0,
       on 64x 64^3 volumes vs 62/24 for vmap).
     """
     from elasticdeform_tpu.ops.deform import deform_apply_batched
-    from elasticdeform_tpu.ops.windows import window_plan
 
-    Xs = _n.normalize_inputs(X)
-    B = int(Xs[0].shape[0])
-    assert all(int(x.shape[0]) == B for x in Xs), \
-        'All inputs should have the same batch size.'
-    assert int(displacement.shape[0]) == B, \
-        'displacement must have a leading batch axis matching X.'
-
-    samples = [_Shaped(x.shape[1:], x.dtype) for x in Xs]
-    axis_n, deform_shape = _n.normalize_axis_list(axis, samples)
-    output_shapes, output_offset = _n.compute_output_shapes(
-        samples, axis_n, deform_shape, crop)
-    disp_sample = _Shaped(displacement.shape[1:], displacement.dtype)
-    _n.normalize_displacement(disp_sample, samples, axis_n)
-    orders = _n.normalize_order(order, samples)
-    modes = _n.normalize_mode(mode, samples)
-    cvals = _n.normalize_cval(cval, samples)
-    inv_affine = _n.resolve_affine(affine, rotate, zoom, axis_n,
-                                   output_shapes)
-    spec = _n.build_spec(samples, axis_n, deform_shape, output_shapes,
-                         output_offset, orders, modes, cvals, prefilter,
-                         displacement.dtype, inv_affine is not None,
-                         strategy=strategy, table_dtype=table_dtype)
-
-    windows_ok = strategy in ("auto", "windows") and all(
-        window_plan(len(i.axis), i.order) is not None for i in spec.inputs)
-    use_native = batch_impl in ("native", "auto") and windows_ok
+    Xs, inv_affine, spec, use_native, _ = _prepare_batch(
+        X, displacement, order, mode, cval, crop, prefilter, axis, affine,
+        rotate, zoom, strategy, table_dtype, batch_impl)
     if use_native:
         ys = deform_apply_batched([jnp.asarray(x) for x in Xs],
                                   jnp.asarray(displacement), inv_affine,
@@ -206,6 +218,56 @@ def deform_batch(X, displacement, *, order=3, mode='constant', cval=0.0,
         ys = jax.vmap(fn)(tuple(jnp.asarray(x) for x in Xs),
                           jnp.asarray(displacement))
     return ys if isinstance(X, list) else ys[0]
+
+
+def deform_batch_gradient(dY, displacement, *, order=3, mode='constant',
+                          cval=0.0, crop=None, prefilter=True, axis=None,
+                          X_shape=None, affine=None, rotate=None, zoom=None,
+                          strategy="auto"):
+    """Exact adjoint of :func:`deform_batch` w.r.t. the inputs.
+
+    Backward-only (no forward pass is paid): maps batched output
+    cotangents ``dY`` of shape ``(B, *output_shape)`` (or a list of such
+    arrays) to batched input cotangents, given the per-sample
+    ``displacement`` grids ``(B, naxis, *points)`` of the forward call.
+    The per-sample adjoint pipeline (scatter-add of the interpolation
+    stencils, table fold, transpose prefilter — reference semantics
+    deform_grid.py:182-291) is ``vmap``-ed over the batch; all static
+    parameters must match the forward call. ``X_shape`` is the
+    *per-sample* (uncropped) input shape(s), required when ``crop`` was
+    used — mirroring :func:`deform_gradient`.
+
+    Normally ``jax.grad`` through :func:`deform_batch` is what you want;
+    this entry point serves callers that manage their own backward pass
+    (e.g. the ``elasticdeform_tpu.torch`` / ``.tf`` batched shims).
+    """
+    dYs = _n.normalize_inputs(dY)
+    B = int(dYs[0].shape[0])
+    if isinstance(X_shape, tuple):
+        X_shape = [X_shape]
+    elif X_shape is None:
+        if crop is not None:
+            raise ValueError(
+                "X_shape is required if the crop parameter is given.")
+        X_shape = [tuple(int(s) for s in dy.shape[1:]) for dy in dYs]
+
+    # batched stand-ins with the (uncropped) per-sample shapes; reuse the
+    # batch normalization so spec/validation match deform_batch exactly
+    fakes = [_Shaped((B, *s), dy.dtype) for s, dy in zip(X_shape, dYs)]
+    _, inv_affine, spec, _, output_shapes = _prepare_batch(
+        fakes, _Shaped((B, *displacement.shape[1:]), displacement.dtype),
+        order, mode, cval, crop, prefilter, axis, affine, rotate, zoom,
+        strategy, None, "auto")
+    if [tuple(s) for s in output_shapes] != \
+            [tuple(int(d) for d in dy.shape[1:]) for dy in dYs]:
+        raise ValueError("X_shape does not match output shape and cropping. "
+                         "Expected output shape is %s, but %s given."
+                         % (str(output_shapes),
+                            str([tuple(dy.shape[1:]) for dy in dYs])))
+    fn = lambda dys, d: deform_gradient_apply(list(dys), d, inv_affine, spec)
+    dxs = jax.vmap(fn)(tuple(jnp.asarray(dy) for dy in dYs),
+                       jnp.asarray(displacement))
+    return dxs if isinstance(dY, list) else dxs[0]
 
 
 def random_displacement(key, points, sigma=25.0, *, ndim=None,

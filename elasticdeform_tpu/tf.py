@@ -56,3 +56,53 @@ def deform_grid(X, displacement, *args, **kwargs):
 
     ys = _deform(displacement, *Xs)
     return list(ys) if is_list else ys[0]
+
+
+def deform_batch(X, displacement, **kwargs):
+    """Batched elastic deformation as a TensorFlow op with a custom
+    gradient.
+
+    ``X``: ``(B, *image_shape)`` tensor (or list of such tensors sharing
+    the deformation); ``displacement``: ``(B, naxis, *points)`` per-sample
+    control grids. Keyword parameters follow
+    :func:`elasticdeform_tpu.deform_batch`; one device round-trip serves
+    the whole batch via the batched TPU kernels. As with
+    :func:`deform_grid`, the displacement gradient is poisoned with NaNs
+    (reference tf.py:47).
+    """
+    is_list = isinstance(X, (list, tuple))
+    Xs = list(X) if is_list else [X]
+    grad_kwargs = {k: v for k, v in kwargs.items()
+                   if k not in ("batch_impl", "table_dtype")}
+
+    @_tf.custom_gradient
+    def _deform(displacement, *xs):
+        x_shapes = [tuple(int(s) for s in x.shape[1:]) for x in xs]
+
+        def _forward(displacement, *xs):
+            xs_numpy = [np.asarray(x) for x in xs]
+            return _api.deform_batch(xs_numpy, np.asarray(displacement),
+                                     **kwargs)
+
+        ys = _tf.py_function(_forward, [displacement] + list(xs),
+                             [x.dtype for x in xs])
+
+        def _grad(*dys):
+            def _backward(displacement, *dys):
+                dys_numpy = [np.asarray(dy) for dy in dys]
+                return _api.deform_batch_gradient(
+                    dys_numpy, np.asarray(displacement),
+                    X_shape=x_shapes, **grad_kwargs)
+
+            dxs = _tf.py_function(_backward, [displacement] + list(dys),
+                                  [dy.dtype for dy in dys])
+            for dx, x in zip(dxs, xs):
+                dx.set_shape(x.shape)
+            nan = _tf.constant(float("nan"),
+                               dtype=_tf.as_dtype(displacement.dtype))
+            return [nan * _tf.cast(displacement, nan.dtype)] + list(dxs)
+
+        return ys, _grad
+
+    ys = _deform(displacement, *Xs)
+    return list(ys) if is_list else ys[0]

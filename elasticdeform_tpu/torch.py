@@ -59,3 +59,56 @@ def deform_grid(X, displacement, *args, **kwargs):
     if isinstance(X, (list, tuple)):
         return list(ys)
     return ys[0]
+
+
+class ElasticDeformBatch(_torch.autograd.Function):
+    """Batched twin of :class:`ElasticDeform`: per-sample displacement
+    grids, one device round-trip for the whole batch (the batched TPU
+    kernels fold the batch into the window-table rows — far cheaper than
+    a per-sample python loop). Backward is the backward-only batched
+    adjoint (:func:`elasticdeform_tpu.api.deform_batch_gradient`); like
+    the single-sample shim, no displacement gradient is returned."""
+
+    @staticmethod
+    def forward(ctx, displacement, kwargs, *xs):
+        ctx.save_for_backward(displacement)
+        ctx.kwargs = kwargs
+        ctx.x_shapes = [tuple(x.shape[1:]) for x in xs]
+        xs_numpy = [x.detach().cpu().numpy() for x in xs]
+        displacement_numpy = displacement.detach().cpu().numpy()
+        ys = _api.deform_batch(xs_numpy, displacement_numpy, **kwargs)
+        return tuple(_torch.as_tensor(y, device=x.device)
+                     for x, y in zip(xs, ys))
+
+    @staticmethod
+    def backward(ctx, *dys):
+        (displacement,) = ctx.saved_tensors
+        displacement_numpy = displacement.detach().cpu().numpy()
+        dys_numpy = [dy.detach().cpu().numpy() for dy in dys]
+        kwargs = {k: v for k, v in ctx.kwargs.items()
+                  if k not in ("batch_impl", "table_dtype")}
+        dxs = _api.deform_batch_gradient(dys_numpy, displacement_numpy,
+                                         X_shape=ctx.x_shapes, **kwargs)
+        dxs_torch = tuple(_torch.as_tensor(dx, device=dy.device)
+                          for dx, dy in zip(dxs, dys))
+        return (None, None) + dxs_torch
+
+
+def deform_batch(X, displacement, **kwargs):
+    """Batched elastic deformation as a differentiable PyTorch op.
+
+    ``X``: ``(B, *image_shape)`` tensor (or list of such tensors sharing
+    the deformation); ``displacement``: ``(B, naxis, *points)`` per-sample
+    control grids. Keyword parameters follow
+    :func:`elasticdeform_tpu.deform_batch`. Gradients flow to the image
+    inputs only (the displacement gradient is not implemented, matching
+    the single-sample shim and the reference, reference torch.py:29).
+    """
+    if not isinstance(X, (list, tuple)):
+        Xs = [X]
+    else:
+        Xs = list(X)
+    ys = ElasticDeformBatch.apply(displacement, kwargs, *Xs)
+    if isinstance(X, (list, tuple)):
+        return list(ys)
+    return ys[0]

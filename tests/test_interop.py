@@ -127,3 +127,134 @@ def test_tf_multi():
     np.testing.assert_almost_equal(Yd_ref, Yd.numpy())
     np.testing.assert_almost_equal(dX_ref, dX.numpy())
     np.testing.assert_almost_equal(dY_ref, dY.numpy())
+
+
+# ---------------------------------------------------------------------------
+# batched shims (beyond reference parity: the reference has no batched API)
+
+def test_batch_gradient_matches_vjp():
+    """core.deform_batch_gradient (backward-only, vmap of the per-sample
+    adjoint pipeline) must equal jax.vjp through deform_batch (native
+    batched custom_vjp backward) — two independent adjoint routes."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(21)
+    X = jnp.asarray(rng.random((3, 14, 16)))
+    D = jnp.asarray(rng.standard_normal((3, 2, 3, 3)) * 4)
+    gy = jnp.asarray(rng.random((3, 14, 16)))
+    kw = dict(order=3, mode='mirror')
+    _, vjp = jax.vjp(lambda x: ed.deform_batch(x, D, **kw), X)
+    (want,) = vjp(gy)
+    got = ed.deform_batch_gradient(gy, D, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-11, atol=1e-11)
+
+
+def test_batch_gradient_matches_per_sample_loop():
+    rng = np.random.default_rng(22)
+    D = rng.standard_normal((4, 2, 3, 3)) * 5
+    gy = rng.random((4, 20, 11))
+    kw = dict(order=2, mode='reflect')
+    got = np.asarray(ed.deform_batch_gradient(gy, D, **kw))
+    for b in range(4):
+        want = ed.deform_grid_gradient(gy[b], D[b], **kw)
+        np.testing.assert_allclose(got[b], want, rtol=1e-11, atol=1e-11)
+
+
+def test_batch_gradient_crop_xshape():
+    rng = np.random.default_rng(23)
+    D = rng.standard_normal((2, 2, 3, 3)) * 3
+    crop = [slice(4, 16), slice(2, 10)]
+    gy = rng.random((2, 12, 8))
+    got = np.asarray(ed.deform_batch_gradient(
+        gy, D, order=3, mode='mirror', crop=crop, X_shape=(20, 14)))
+    assert got.shape == (2, 20, 14)
+    for b in range(2):
+        want = ed.deform_grid_gradient(gy[b], D[b], order=3, mode='mirror',
+                                       crop=crop, X_shape=(20, 14))
+        np.testing.assert_allclose(got[b], want, rtol=1e-11, atol=1e-11)
+    with pytest.raises(ValueError, match="X_shape is required"):
+        ed.deform_batch_gradient(gy, D, order=3, crop=crop)
+    # without crop the expected output shape IS X_shape — mismatch raises
+    with pytest.raises(ValueError, match="does not match"):
+        ed.deform_batch_gradient(gy, D, order=3, mode='mirror',
+                                 X_shape=(21, 14))
+
+
+def test_api_deform_batch_numpy_contract():
+    """api.deform_batch: numpy in/out, dtype preserved (uint8 round/clamp),
+    values equal to the JAX-native core path."""
+    from elasticdeform_tpu import api
+    rng = np.random.default_rng(24)
+    X = (rng.random((3, 18, 12)) * 255).astype(np.uint8)
+    D = rng.standard_normal((3, 2, 3, 3)) * 4
+    out = api.deform_batch(X, D, order=3, mode='mirror')
+    assert isinstance(out, np.ndarray) and out.dtype == np.uint8
+    want = np.asarray(ed.deform_batch(X, D, order=3, mode='mirror'))
+    np.testing.assert_array_equal(out, want)
+
+
+@pytest.mark.skipif(torch is None, reason="PyTorch was not loaded.")
+def test_torch_batch_roundtrip():
+    import elasticdeform_tpu.torch as etorch
+    rng = np.random.default_rng(25)
+    X_val = rng.random((3, 16, 14))
+    D_val = rng.standard_normal((3, 2, 3, 3)) * 5
+    want = np.asarray(ed.deform_batch(X_val, D_val, order=3, mode='mirror'))
+
+    X = torch.tensor(X_val, requires_grad=True)
+    D = torch.tensor(D_val)
+    Y = etorch.deform_batch(X, D, order=3, mode='mirror')
+    np.testing.assert_allclose(Y.detach().numpy(), want,
+                               rtol=1e-10, atol=1e-10)
+
+    dY_val = rng.random(want.shape)
+    Y.backward(torch.tensor(dY_val))
+    want_grad = np.asarray(ed.deform_batch_gradient(
+        dY_val, D_val, order=3, mode='mirror'))
+    np.testing.assert_allclose(X.grad.numpy(), want_grad,
+                               rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.skipif(torch is None, reason="PyTorch was not loaded.")
+def test_torch_batch_multi_input():
+    import elasticdeform_tpu.torch as etorch
+    rng = np.random.default_rng(26)
+    A_val = rng.random((2, 12, 12))
+    B_val = rng.random((2, 12, 12))
+    D_val = rng.standard_normal((2, 2, 3, 3)) * 3
+    A = torch.tensor(A_val, requires_grad=True)
+    B = torch.tensor(B_val, requires_grad=True)
+    ys = etorch.deform_batch([A, B], torch.tensor(D_val),
+                             order=[3, 0], mode='nearest')
+    want = ed.deform_batch([A_val, B_val], D_val, order=[3, 0],
+                           mode='nearest')
+    for y, w in zip(ys, want):
+        np.testing.assert_allclose(y.detach().numpy(), np.asarray(w),
+                                   rtol=1e-10, atol=1e-10)
+    (ys[0].sum() + ys[1].sum()).backward()
+    assert A.grad is not None and B.grad is not None
+    assert A.grad.shape == A.shape and B.grad.shape == B.shape
+
+
+@pytest.mark.skipif(tf is None, reason="TensorFlow was not loaded.")
+def test_tf_batch_roundtrip():
+    import elasticdeform_tpu.tf as etf
+    rng = np.random.default_rng(27)
+    X_val = rng.random((3, 15, 13))
+    D_val = rng.standard_normal((3, 2, 3, 3)) * 5
+    want = np.asarray(ed.deform_batch(X_val, D_val, order=3, mode='mirror'))
+
+    X = tf.Variable(X_val)
+    D = tf.constant(D_val)
+    with tf.GradientTape() as tape:
+        Y = etf.deform_batch(X, D, order=3, mode='mirror')
+        loss_w = rng.random(want.shape)
+        loss = tf.reduce_sum(Y * loss_w)
+    np.testing.assert_allclose(Y.numpy(), want, rtol=1e-10, atol=1e-10)
+    gX = tape.gradient(loss, X)
+    want_grad = np.asarray(ed.deform_batch_gradient(
+        loss_w, D_val, order=3, mode='mirror'))
+    np.testing.assert_allclose(gX.numpy(), want_grad,
+                               rtol=1e-10, atol=1e-10)
