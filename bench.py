@@ -260,11 +260,22 @@ def main(argv):
     # instead of raising. Probe out-of-process with a deadline so a dead
     # tunnel yields a clear error instead of a silent multi-hour hang.
     from elasticdeform_tpu.runtime import probe_default_backend
-    timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "180"))
-    if probe_default_backend(timeout) == 0:
-        print(f"ERROR: default JAX backend unusable (no device transfer "
-              f"within {timeout:.0f}s) — TPU tunnel down? Not benchmarking "
-              "on a fallback backend; fix the device and re-run.",
+    timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "120"))
+    attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "5"))
+    for attempt in range(attempts):
+        if probe_default_backend(timeout) > 0:
+            break
+        more = attempt + 1 < attempts
+        print(f"bench: default backend not usable (probe {attempt + 1}/"
+              f"{attempts} found no device within {timeout:.0f}s) — "
+              "TPU tunnel down?" + (" retrying in 60s" if more else ""),
+              file=sys.stderr, flush=True)
+        if more:
+            time.sleep(60)
+    else:
+        print("ERROR: default JAX backend unusable after "
+              f"{attempts} probes — not benchmarking on a fallback "
+              "backend; fix the device and re-run.",
               file=sys.stderr, flush=True)
         raise SystemExit(2)
     if "--all" in argv:
