@@ -187,3 +187,25 @@ def test_dryrun_multichip_driver_env():
         cwd=repo, env=env, capture_output=True, text=True, timeout=600)
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "DRYRUN_OK" in proc.stdout
+
+
+def test_deform_under_remat():
+    """jax.checkpoint (remat) around the deformation must compose with the
+    custom_vjp kernels and give identical gradients — the pattern training
+    pipelines use to trade FLOPs for activation memory."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(31)
+    X = jnp.asarray(rng.random((2, 12, 14)))
+    D = jnp.asarray(rng.standard_normal((2, 2, 3, 3)) * 3)
+    w = jnp.asarray(rng.random((2, 12, 14)))
+
+    def loss(x, d):
+        return jnp.vdot(w, ed.deform_batch(x, d, order=3, mode='mirror'))
+
+    g_plain = jax.grad(loss, argnums=(0, 1))(X, D)
+    g_remat = jax.grad(jax.checkpoint(loss), argnums=(0, 1))(X, D)
+    for a, b in zip(g_plain, g_remat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-12)
