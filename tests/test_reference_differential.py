@@ -101,3 +101,67 @@ def test_integer_prefilter_exact(dtype):
     diff = np.abs(a.astype(np.int64) - b.astype(np.int64))
     # f64-vs-f64 path: allow only off-by-one at exact .5 rounding boundaries
     assert (diff <= 1).all() and (diff == 0).mean() > 0.995
+
+
+def _random_config(rng):
+    """One random legal (args, kwargs) configuration for deform_grid."""
+    ndim = int(rng.integers(2, 4))
+    shape = tuple(int(rng.integers(9, 28)) for _ in range(ndim))
+    points = tuple(int(rng.integers(3, 6)) for _ in range(ndim))
+    order = int(rng.integers(0, 6))
+    mode = ALL_MODES[int(rng.integers(0, len(ALL_MODES)))]
+    kw = dict(order=order, mode=mode)
+    if mode == "constant":
+        kw["cval"] = float(rng.normal()) * 2
+    if rng.random() < 0.5:
+        kw["prefilter"] = bool(rng.random() < 0.5)
+    crop = None
+    if rng.random() < 0.4:
+        crop = []
+        for n in shape:
+            if rng.random() < 0.3:
+                crop.append(slice(None))
+            else:
+                a = int(rng.integers(0, n - 4))
+                b = int(rng.integers(a + 3, n))
+                crop.append(slice(a, b))
+        kw["crop"] = crop
+    if ndim == 2 and rng.random() < 0.3:
+        kw["rotate"] = float(rng.uniform(-40, 40))
+        kw["zoom"] = float(rng.uniform(0.7, 1.5))
+    X = rng.random(shape)
+    d = rng.standard_normal((ndim, *points)) * rng.uniform(1, 8)
+    return X, d, kw
+
+
+@pytest.mark.parametrize("trial", range(40))
+def test_fuzz_forward_vs_reference(trial):
+    """Seeded random-configuration fuzzer: any (ndim, shape, order, mode,
+    cval, prefilter, crop, rotate/zoom) combination must match the
+    reference C extension at its own test tolerance
+    (reference tests/test_deform_grid.py:365)."""
+    rng = np.random.default_rng(7000 + trial)
+    X, d, kw = _random_config(rng)
+    a = edc.deform_grid(X, d, **kw)
+    b = np.asarray(ed.deform_grid(X, d, **kw))
+    if kw["order"] == 0:
+        # order-0 rounding at exact .5 coordinate boundaries may pick the
+        # other neighbour in fp32-sensitive spots; require identical
+        # values on >99% of voxels and no large deviations elsewhere
+        frac = np.mean(~np.isclose(a, b, rtol=1e-5, atol=1e-8))
+        assert frac < 0.01, f"order-0 mismatch fraction {frac}"
+    else:
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8)
+
+
+@pytest.mark.parametrize("trial", range(20))
+def test_fuzz_gradient_vs_reference(trial):
+    rng = np.random.default_rng(9000 + trial)
+    X, d, kw = _random_config(rng)
+    if kw["order"] == 0:
+        kw["order"] = 3  # gradient of order-0 is zero a.e.; not informative
+    out = edc.deform_grid(X, d, **kw)
+    gy = rng.random(out.shape)
+    ga = edc.deform_grid_gradient(gy, d, X_shape=X.shape, **kw)
+    gb = np.asarray(ed.deform_grid_gradient(gy, d, X_shape=X.shape, **kw))
+    np.testing.assert_allclose(ga, gb, rtol=1e-5, atol=1e-8)
