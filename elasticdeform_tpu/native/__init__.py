@@ -309,3 +309,49 @@ def deform_grid_gradient(dY, displacement, order=3, mode='constant',
         dx_full = _unprep(dx, perm, chan_shape, spatial)
         outputs.append(_cast_output_np(dx_full, dy.dtype))
     return outputs if isinstance(dY, list) else outputs[0]
+
+
+def deform_batch(X, displacement, **kwargs):
+    """Batched host-native deform: per-sample displacement grids.
+
+    JAX-free twin of :func:`elasticdeform_tpu.deform_batch` — ``X`` is
+    ``(B, *image_shape)`` (or a list of such arrays sharing the
+    deformation), ``displacement`` is ``(B, naxis, *points)``. Samples run
+    sequentially; each call is already OpenMP-parallel inside the C++
+    kernel (ed_host.cpp), so a thread pool here would only oversubscribe
+    cores.
+    """
+    is_list = isinstance(X, list)
+    Xs = X if is_list else [X]
+    B = int(np.asarray(Xs[0]).shape[0])
+    displacement = np.asarray(displacement)
+    assert int(displacement.shape[0]) == B, \
+        'displacement must have a leading batch axis matching X.'
+    per_input = [[] for _ in Xs]
+    for b in range(B):
+        ys = deform_grid([np.asarray(x)[b] for x in Xs], displacement[b],
+                         **kwargs)
+        for acc, y in zip(per_input, ys):
+            acc.append(y)
+    outs = [np.stack(acc) for acc in per_input]
+    return outs if is_list else outs[0]
+
+
+def deform_batch_gradient(dY, displacement, **kwargs):
+    """Batched host-native exact adjoint (per-sample loop over
+    :func:`deform_grid_gradient`); ``X_shape`` follows the per-sample
+    semantics of :func:`elasticdeform_tpu.deform_batch_gradient`."""
+    is_list = isinstance(dY, list)
+    dYs = dY if is_list else [dY]
+    B = int(np.asarray(dYs[0]).shape[0])
+    displacement = np.asarray(displacement)
+    assert int(displacement.shape[0]) == B, \
+        'displacement must have a leading batch axis matching dY.'
+    per_input = [[] for _ in dYs]
+    for b in range(B):
+        dxs = deform_grid_gradient(
+            [np.asarray(d)[b] for d in dYs], displacement[b], **kwargs)
+        for acc, dx in zip(per_input, dxs):
+            acc.append(dx)
+    outs = [np.stack(acc) for acc in per_input]
+    return outs if is_list else outs[0]

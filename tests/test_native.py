@@ -86,3 +86,29 @@ def test_native_spline_filter_matches_python():
         a = native.spline_filter1d(x, order, 0)
         b = spline_filter1d_np(x, order, 0)
         np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+
+
+def test_native_deform_batch_matches_jax():
+    rng = np.random.default_rng(51)
+    X = rng.random((3, 16, 14))
+    D = rng.standard_normal((3, 2, 3, 3)) * 5
+    got = native.deform_batch(X, D, order=3, mode='mirror')
+    want = np.asarray(ed.deform_batch(X, D, order=3, mode='mirror'))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)
+    # multi-input list form
+    got2 = native.deform_batch([X, X.astype(np.float32)], D,
+                               order=[3, 1], mode='nearest')
+    want2 = ed.deform_batch([X, X.astype(np.float32)], D,
+                            order=[3, 1], mode='nearest')
+    for g, w in zip(got2, want2):
+        np.testing.assert_allclose(g, np.asarray(w), rtol=1e-5, atol=1e-6)
+
+
+def test_native_deform_batch_gradient_matches_jax():
+    rng = np.random.default_rng(52)
+    D = rng.standard_normal((2, 2, 3, 3)) * 4
+    gy = rng.random((2, 15, 12))
+    got = native.deform_batch_gradient(gy, D, order=3, mode='reflect')
+    want = np.asarray(ed.deform_batch_gradient(gy, D, order=3,
+                                               mode='reflect'))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)
