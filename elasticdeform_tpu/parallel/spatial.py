@@ -72,12 +72,20 @@ def _prefilter_pad_block(block, naxis, order, prefilter, plan, pad):
     inner products; see ops.prefilter.spline_filter1d_select). Axes
     without a filter keep the concat pad.
     """
+    from elasticdeform_tpu.ops.prefilter import use_scan_filter
+
     n_lead, widths, _ = plan
     for d in range(naxis):
         extra = widths[d - n_lead] if d >= n_lead else 0
-        if prefilter and order > 1:
+        if prefilter and order > 1 and \
+                not use_scan_filter(block.shape[d], order):
             idx = window_pad_indices(block.shape[d], pad, extra)
             block = spline_filter1d_select(block, order, d, idx)
+        elif prefilter and order > 1:
+            # huge per-shard axis: O(log n) scan filter + concat pad
+            # instead of the O(n^2) fused filter-matrix row selection
+            block = spline_filter1d(block, order, d)
+            block = window_pad_axis(block, d, pad, extra)
         else:
             block = window_pad_axis(block, d, pad, extra)
     return block

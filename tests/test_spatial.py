@@ -374,3 +374,23 @@ def test_batched_spatial_nd_wrap(rng):
                                             validate=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_spatial_scan_prefilter_gate(rng, monkeypatch):
+    """With the scan-prefilter gate lowered so the per-shard padded axis
+    runs the associative-scan filter (+ concat pad) instead of the fused
+    filter-matrix selection, the sharded result must still match the
+    single-device forward."""
+    mesh = _mesh(2)
+    X = rng.random((64, 12)).astype(np.float32)
+    d = np.clip(rng.standard_normal((2, 3, 3)) * 4, -7, 7)
+    want = np.asarray(ed.deform(X, d, order=3, mode='mirror'))
+    monkeypatch.setenv("ELASTICDEFORM_TPU_PREFILTER_SCAN_MIN", "32")
+    jax.clear_caches()
+    try:
+        out = sharded_deform_spatial(mesh, X, d, max_displacement=9,
+                                     order=3, mode='mirror')
+        np.testing.assert_allclose(np.asarray(out), want,
+                                   rtol=1e-5, atol=1e-5)
+    finally:
+        jax.clear_caches()
