@@ -39,6 +39,7 @@ from elasticdeform_tpu.core import (
     deform_batch,
     deform_batch_gradient,
     deform_gradient,
+    displacement_field,
     random_displacement,
     deform_random,
 )
@@ -53,6 +54,7 @@ __all__ = [
     "deform_batch",
     "deform_batch_gradient",
     "deform_gradient",
+    "displacement_field",
     "random_displacement",
     "deform_random",
     "__version__",

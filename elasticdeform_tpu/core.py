@@ -270,6 +270,44 @@ def deform_batch_gradient(dY, displacement, *, order=3, mode='constant',
     return dxs if isinstance(dY, list) else dxs[0]
 
 
+def displacement_field(displacement, shape, *, crop=None):
+    """Dense per-voxel displacement field the deformation actually applies.
+
+    Interpolates the control-point grid ``displacement`` of shape
+    ``(naxis, *points)`` to a ``(naxis, *out_shape)`` field with the same
+    cubic-B-spline interpolation (including the grid prefilter and the
+    full-extent control-point placement, reference deform.c:643) the
+    forward pass uses: ``deform_grid(X, d)[v] == X interpolated at
+    v + displacement_field(d, X.shape)[:, v]``. With ``crop``, the field
+    is evaluated at the cropped output positions in full-image
+    coordinates — exactly what a cropped forward consumes.
+
+    Useful for visualizing/debugging a deformation, bounding its
+    magnitude (cf. ``parallel.validate_max_displacement``), or composing
+    it with external resampling code. Traceable and differentiable
+    w.r.t. ``displacement``.
+    """
+    from elasticdeform_tpu.ops.displacement import dense_displacement
+
+    shape = tuple(int(s) for s in shape)
+    displacement = jnp.asarray(displacement)
+    if displacement.ndim != len(shape) + 1 or \
+            displacement.shape[0] != len(shape):
+        raise ValueError(
+            "displacement should have shape (naxis, *points) for an "
+            f"naxis-dimensional shape; got {displacement.shape} for "
+            f"shape {shape}.")
+    # reuse the forward's crop geometry (reference deform_grid.py:328-354)
+    fake = [_Shaped(shape, jnp.float32)]
+    (out_shape,), offsets = _n.compute_output_shapes(
+        fake, [tuple(range(len(shape)))], shape, crop)
+    dtype = displacement.dtype if displacement.dtype in (
+        jnp.float32, jnp.float64) else (
+        jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    return dense_displacement(displacement.astype(dtype), out_shape, shape,
+                              offsets, dtype, prefilter_grid=True)
+
+
 def random_displacement(key, points, sigma=25.0, *, ndim=None,
                         dtype=jnp.float32):
     """Sample a random control-point displacement grid with an explicit key.

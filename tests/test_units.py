@@ -4,6 +4,8 @@ import numpy as np
 import scipy.ndimage
 import pytest
 
+import elasticdeform_tpu as ed
+
 from elasticdeform_tpu.ops.prefilter import (
     filter_matrix, spline_filter1d, spline_filter1d_transpose,
     spline_filter1d_np, spline_poles,
@@ -209,3 +211,44 @@ def test_spline_filter_select_fuses_pad_exactly():
         staged = window_pad_axis(spline_filter1d(x, order, axis),
                                  axis, pad, extra)
         np.testing.assert_array_equal(np.asarray(fused), np.asarray(staged))
+
+
+def test_displacement_field_ramp_identity():
+    """Interpolating a linear coordinate ramp at the displaced positions
+    returns (coordinate + displacement): deform(ramp_h, d, order=1)[v]
+    == v_h + displacement_field(d, shape)[h, v] wherever the displaced
+    coordinate stays inside the image."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(61)
+    shape = (24, 31)
+    d = rng.standard_normal((2, 3, 3)) * 3
+    field = np.asarray(ed.displacement_field(d, shape))
+    assert field.shape == (2, *shape)
+    coords = np.stack(np.meshgrid(*[np.arange(n, dtype=float) for n in shape],
+                                  indexing='ij'))
+    displaced = coords + field
+    inside = np.ones(shape, dtype=bool)
+    for h, n in enumerate(shape):
+        inside &= (displaced[h] >= 0) & (displaced[h] <= n - 1)
+    for h in range(2):
+        ramp = coords[h]
+        out = np.asarray(ed.deform(ramp, d, order=1, mode='mirror'))
+        np.testing.assert_allclose(out[inside], displaced[h][inside],
+                                   rtol=1e-9, atol=1e-9)
+
+
+def test_displacement_field_crop_and_grad():
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(62)
+    shape = (20, 18)
+    d = jnp.asarray(rng.standard_normal((2, 3, 3)) * 4)
+    full = np.asarray(ed.displacement_field(d, shape))
+    crop = [slice(5, 15), slice(2, 9)]
+    part = np.asarray(ed.displacement_field(d, shape, crop=crop))
+    np.testing.assert_allclose(part, full[:, 5:15, 2:9], rtol=1e-12,
+                               atol=1e-12)
+    g = jax.grad(lambda dd: ed.displacement_field(dd, shape).sum())(d)
+    assert g.shape == d.shape and bool(jnp.isfinite(g).all())
+    with np.testing.assert_raises(ValueError):
+        ed.displacement_field(rng.standard_normal((3, 3, 3)), shape)

@@ -39,4 +39,8 @@ echo "PARITY_EXIT=$?"
 # 3. bench refresh + persist stage breakdown
 python bench.py --all
 python tools/profile_stages.py > bench_artifacts/stages_r3s3.json 2>&1 || true
+
+# 4. Pallas toolchain re-probe (dynstore/dyngather status changes by
+# session; record the current answer)
+timeout 900 python tools/probe_pallas.py || true
 echo ON_RECOVERY_DONE
