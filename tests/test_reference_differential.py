@@ -105,7 +105,7 @@ def test_integer_prefilter_exact(dtype):
 
 def _random_config(rng):
     """One random legal (args, kwargs) configuration for deform_grid."""
-    ndim = int(rng.integers(2, 4))
+    ndim = int(rng.integers(1, 4))
     shape = tuple(int(rng.integers(9, 28)) for _ in range(ndim))
     points = tuple(int(rng.integers(3, 6)) for _ in range(ndim))
     order = int(rng.integers(0, 6))
@@ -126,6 +126,8 @@ def _random_config(rng):
                 b = int(rng.integers(a + 3, n))
                 crop.append(slice(a, b))
         kw["crop"] = crop
+    if ndim == 1:
+        kw.pop("crop", None)   # keep 1-D configs simple: full extent
     if ndim == 2 and rng.random() < 0.3:
         kw["rotate"] = float(rng.uniform(-40, 40))
         kw["zoom"] = float(rng.uniform(0.7, 1.5))
@@ -164,4 +166,33 @@ def test_fuzz_gradient_vs_reference(trial):
     gy = rng.random(out.shape)
     ga = edc.deform_grid_gradient(gy, d, X_shape=X.shape, **kw)
     gb = np.asarray(ed.deform_grid_gradient(gy, d, X_shape=X.shape, **kw))
+    np.testing.assert_allclose(ga, gb, rtol=1e-5, atol=1e-8)
+
+
+def test_forward_and_gradient_4d():
+    """The voxel loop generalizes to any rank (reference deform.c is
+    rank-generic); pin 4-D forward + gradient against the reference."""
+    rng = np.random.default_rng(77)
+    X = rng.random((9, 10, 8, 7))
+    d = rng.standard_normal((4, 3, 3, 3, 3)) * 2
+    a = edc.deform_grid(X, d, order=3, mode='mirror')
+    b = np.asarray(ed.deform_grid(X, d, order=3, mode='mirror'))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8)
+    gy = rng.random(X.shape)
+    ga = edc.deform_grid_gradient(gy, d, order=3, mode='mirror')
+    gb = np.asarray(ed.deform_grid_gradient(gy, d, order=3, mode='mirror'))
+    np.testing.assert_allclose(ga, gb, rtol=1e-5, atol=1e-8)
+
+
+def test_forward_and_gradient_1d():
+    rng = np.random.default_rng(78)
+    X = rng.random(50)
+    d = rng.standard_normal((1, 4)) * 3
+    for mode in ALL_MODES:
+        a = edc.deform_grid(X, d, order=3, mode=mode)
+        b = np.asarray(ed.deform_grid(X, d, order=3, mode=mode))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8)
+    gy = rng.random(50)
+    ga = edc.deform_grid_gradient(gy, d, order=3, mode='wrap')
+    gb = np.asarray(ed.deform_grid_gradient(gy, d, order=3, mode='wrap'))
     np.testing.assert_allclose(ga, gb, rtol=1e-5, atol=1e-8)
