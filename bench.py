@@ -259,11 +259,22 @@ def main(argv):
     # ~25 min inside jax.devices() (holding jax's global backend lock)
     # instead of raising. Probe out-of-process with a deadline so a dead
     # tunnel yields a clear error instead of a silent multi-hour hang.
-    from elasticdeform_tpu.runtime import probe_default_backend
+    from elasticdeform_tpu.runtime import probe_default_backend_info
     timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "120"))
     attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "5"))
+    allow_cpu = os.environ.get("BENCH_ALLOW_CPU") == "1"
     for attempt in range(attempts):
-        if probe_default_backend(timeout) > 0:
+        count, platform = probe_default_backend_info(timeout)
+        if count > 0 and platform == "cpu" and not allow_cpu:
+            # jax falls back to CPU with only a warning when the
+            # accelerator plugin fails fast — those numbers must never be
+            # recorded as chip results
+            print("ERROR: default JAX backend resolved to CPU — refusing "
+                  "to record CPU timings as chip results (set "
+                  "BENCH_ALLOW_CPU=1 to override).",
+                  file=sys.stderr, flush=True)
+            raise SystemExit(2)
+        if count > 0:
             break
         more = attempt + 1 < attempts
         print(f"bench: default backend not usable (probe {attempt + 1}/"

@@ -343,29 +343,11 @@ def deform_batch_gradient(dY, displacement, order=3, mode='constant',
     used; all other parameters must match the forward call (see
     :func:`deform_grid_gradient` for their semantics).
     """
-    from elasticdeform_tpu.core import _Shaped, _prepare_batch
+    from elasticdeform_tpu.core import _prepare_batch_gradient
 
-    dYs = _n.normalize_inputs(dY)
-    B = int(dYs[0].shape[0])
-    if isinstance(X_shape, tuple):
-        X_shape = [X_shape]
-    elif X_shape is None:
-        if crop is not None:
-            raise ValueError(
-                "X_shape is required if the crop parameter is given.")
-        X_shape = [tuple(int(s) for s in dy.shape[1:]) for dy in dYs]
-
-    fakes = [_Shaped((B, *s), dy.dtype) for s, dy in zip(X_shape, dYs)]
-    _, inv_affine, spec, _, output_shapes = _prepare_batch(
-        fakes, _Shaped((B, *displacement.shape[1:]), displacement.dtype),
-        order, mode, cval, crop, prefilter, axis, affine, rotate, zoom,
-        strategy, None, "auto")
-    if [tuple(s) for s in output_shapes] != \
-            [tuple(int(d) for d in dy.shape[1:]) for dy in dYs]:
-        raise ValueError("X_shape does not match output shape and cropping. "
-                         "Expected output shape is %s, but %s given."
-                         % (str(output_shapes),
-                            str([tuple(dy.shape[1:]) for dy in dYs])))
+    dYs, inv_affine, spec = _prepare_batch_gradient(
+        dY, displacement, order, mode, cval, crop, prefilter, axis,
+        X_shape, affine, rotate, zoom, strategy)
     fn = _jitted_batch_gradient(spec)
     dxs = fn(_to_device(dYs), jnp.asarray(displacement),
              None if inv_affine is None else jnp.asarray(inv_affine))

@@ -241,8 +241,27 @@ def deform_batch_gradient(dY, displacement, *, order=3, mode='constant',
     this entry point serves callers that manage their own backward pass
     (e.g. the ``elasticdeform_tpu.torch`` / ``.tf`` batched shims).
     """
+    dYs, inv_affine, spec = _prepare_batch_gradient(
+        dY, displacement, order, mode, cval, crop, prefilter, axis,
+        X_shape, affine, rotate, zoom, strategy)
+    fn = lambda dys, d: deform_gradient_apply(list(dys), d, inv_affine, spec)
+    dxs = jax.vmap(fn)(tuple(jnp.asarray(dy) for dy in dYs),
+                       jnp.asarray(displacement))
+    return dxs if isinstance(dY, list) else dxs[0]
+
+
+def _prepare_batch_gradient(dY, displacement, order, mode, cval, crop,
+                            prefilter, axis, X_shape, affine, rotate, zoom,
+                            strategy):
+    """Shared normalization for the batched gradient entry points:
+    lifts :func:`deform_gradient`'s X_shape/crop semantics to per-sample
+    shapes and returns ``(dYs, inv_affine, spec)``."""
     dYs = _n.normalize_inputs(dY)
     B = int(dYs[0].shape[0])
+    if int(displacement.shape[0]) != B:
+        raise ValueError(
+            "displacement must have a leading batch axis matching dY "
+            f"(got {int(displacement.shape[0])} vs batch {B}).")
     if isinstance(X_shape, tuple):
         X_shape = [X_shape]
     elif X_shape is None:
@@ -264,10 +283,7 @@ def deform_batch_gradient(dY, displacement, *, order=3, mode='constant',
                          "Expected output shape is %s, but %s given."
                          % (str(output_shapes),
                             str([tuple(dy.shape[1:]) for dy in dYs])))
-    fn = lambda dys, d: deform_gradient_apply(list(dys), d, inv_affine, spec)
-    dxs = jax.vmap(fn)(tuple(jnp.asarray(dy) for dy in dYs),
-                       jnp.asarray(displacement))
-    return dxs if isinstance(dY, list) else dxs[0]
+    return dYs, inv_affine, spec
 
 
 def displacement_field(displacement, shape, *, crop=None):

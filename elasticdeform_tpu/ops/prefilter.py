@@ -158,12 +158,25 @@ def _scan_min_n() -> int:
     return v if v > 0 else (1 << 62)
 
 
+@functools.lru_cache(maxsize=None)
+def _max_horizon(order: int) -> int:
+    """Largest truncated-init horizon over the order's poles."""
+    return max((int(np.ceil(np.log(_TOLERANCE) / np.log(abs(p))))
+                for p in spline_poles(order)), default=0)
+
+
 def use_scan_filter(n: int, order: int) -> bool:
     """True when the (order>1) prefilter along an axis of length ``n``
     should run as an associative scan instead of a dense matmul. Callers
     that fuse the filter matrix with selections (window padding, patch
-    expansion) must fall back to staged pipelines when this is set."""
-    return order > 1 and n >= _scan_min_n()
+    expansion) must fall back to staged pipelines when this is set.
+
+    The scan formulation requires the truncated-horizon boundary inits
+    (``n > horizon``, up to 42 samples for order 5), so even with the
+    ``ELASTICDEFORM_TPU_PREFILTER_SCAN_MIN`` gate lowered below that, a
+    short axis keeps the matrix path (whose full-boundary branch is
+    exact at any length)."""
+    return order > 1 and n >= _scan_min_n() and n > _max_horizon(order) + 1
 
 
 def _first_order_scan(b, p: float, reverse: bool):
@@ -216,7 +229,9 @@ def _apply_scan(x, order: int, axis: int):
 
 def _filter_axis0_scan_transpose(ct, order: int):
     """Exact adjoint of :func:`_filter_axis0_scan`, written stage by
-    stage (jax.linear_transpose over the scan aborts in eager XLA-CPU).
+    stage (jax.linear_transpose over the scan hit a fatal abort in eager
+    XLA-CPU in this environment; the explicit form is also cheaper —
+    no partial-eval residuals).
 
     Per pole the forward is ``A @ C`` with
     ``C = L E`` (E: identity with row 0 the truncated-horizon init row;

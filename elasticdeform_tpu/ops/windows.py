@@ -580,13 +580,15 @@ def _matmul_build_eligible(xp, widths, strides, n_lead, batched) -> bool:
     if nw == 2:
         # the per-axis (counts*w, n) selection matrix itself must stay
         # bounded: at n >= ~8K it reaches GiB scale and the conv build
-        # (O(w) kernel, no n x n operand) takes over
+        # (O(w) kernel, no n x n operand) takes over. Same BYTE units as
+        # the 3-D intermediate check below, at 4x the budget (the matrix
+        # is a one-shot operand, not a per-pass live intermediate): f32
+        # keeps n <= ~4K eligible (the probed winners), ~8K+ falls back.
+        item = np.dtype(xp.dtype).itemsize
         for k in range(nw):
             counts_k = (spatial[n_lead + k] - widths[k]) // strides[k] + 1
-            # element count; at f32 this caps the matrix at 4x
-            # _MM_BUILD_CAP bytes (256 MiB default) — n <= ~4K stays
-            # eligible (probed winners), ~8K+ falls to the conv build
-            if counts_k * widths[k] * spatial[n_lead + k] > _MM_BUILD_CAP:
+            mat_bytes = counts_k * widths[k] * spatial[n_lead + k] * item
+            if mat_bytes > (_MM_BUILD_CAP << 2):
                 return False
         return True
     if nw != 3:

@@ -35,18 +35,22 @@ _PROBE_SRC = (
     "d = jax.devices()\n"
     "x = jax.device_put(np.float32(0), d[0])\n"
     "x.block_until_ready()\n"
-    "print('PROBE_OK', len(d))\n"
+    "print('PROBE_OK', len(d), d[0].platform)\n"
 )
 
 
-def probe_default_backend(timeout: float | None = None) -> int:
-    """Return the default backend's device count, or 0 if unusable.
+def probe_default_backend_info(timeout: float | None = None):
+    """Probe the default backend out-of-process: ``(device_count,
+    platform)``, or ``(0, None)`` if unusable.
 
     Usability is established in a child process (same environment) that
     must enumerate devices AND complete one host->device transfer within
     ``timeout`` seconds (default: ``ELASTICDEFORM_TPU_PROBE_TIMEOUT`` or
     60). A hung child is killed; the parent never touches the broken
-    backend.
+    backend. The platform lets callers that require an accelerator
+    reject a silent CPU fallback (jax falls back with only a warning
+    when the preferred plugin fails fast and ``JAX_PLATFORMS`` is
+    unset).
     """
     if timeout is None:
         timeout = float(
@@ -57,16 +61,23 @@ def probe_default_backend(timeout: float | None = None) -> int:
             capture_output=True, text=True, timeout=timeout,
         )
     except (subprocess.TimeoutExpired, OSError):
-        return 0
+        return 0, None
     if proc.returncode != 0:
-        return 0
+        return 0, None
     for line in proc.stdout.splitlines():
         if line.startswith("PROBE_OK"):
+            parts = line.split()
             try:
-                return int(line.split()[1])
+                return int(parts[1]), (parts[2] if len(parts) > 2 else None)
             except (IndexError, ValueError):
-                return 0
-    return 0
+                return 0, None
+    return 0, None
+
+
+def probe_default_backend(timeout: float | None = None) -> int:
+    """Device count of the usable default backend, or 0 (see
+    :func:`probe_default_backend_info`)."""
+    return probe_default_backend_info(timeout)[0]
 
 
 def _pin_cpu_if_uninitialized() -> None:

@@ -10,6 +10,7 @@ gradient is returned for the displacement (reference torch.py:29).
 
 from __future__ import annotations
 
+import numpy as np
 import torch as _torch
 
 from elasticdeform_tpu import api as _api
@@ -29,7 +30,10 @@ class ElasticDeform(_torch.autograd.Function):
         xs_numpy = [x.detach().cpu().numpy() for x in xs]
         displacement_numpy = displacement.detach().cpu().numpy()
         ys = _api.deform_grid(xs_numpy, displacement_numpy, *args, **kwargs)
-        return tuple(_torch.as_tensor(y, device=x.device)
+        # np.array copies: the wrappers return numpy VIEWS of (read-only)
+        # JAX buffers; torch.as_tensor would share that memory and
+        # in-place torch ops on the result would be undefined behavior
+        return tuple(_torch.as_tensor(np.array(y), device=x.device)
                      for x, y in zip(xs, ys))
 
     @staticmethod
@@ -40,7 +44,7 @@ class ElasticDeform(_torch.autograd.Function):
         dxs = _api.deform_grid_gradient(dys_numpy, displacement_numpy,
                                         *ctx.args, X_shape=ctx.x_shapes,
                                         **ctx.kwargs)
-        dxs_torch = tuple(_torch.as_tensor(dx, device=dy.device)
+        dxs_torch = tuple(_torch.as_tensor(np.array(dx), device=dy.device)
                           for dx, dy in zip(dxs, dys))
         return (None, None, None) + dxs_torch
 
@@ -77,7 +81,9 @@ class ElasticDeformBatch(_torch.autograd.Function):
         xs_numpy = [x.detach().cpu().numpy() for x in xs]
         displacement_numpy = displacement.detach().cpu().numpy()
         ys = _api.deform_batch(xs_numpy, displacement_numpy, **kwargs)
-        return tuple(_torch.as_tensor(y, device=x.device)
+        # np.array copies out of the read-only JAX-backed buffer (see
+        # ElasticDeform.forward)
+        return tuple(_torch.as_tensor(np.array(y), device=x.device)
                      for x, y in zip(xs, ys))
 
     @staticmethod
@@ -89,7 +95,7 @@ class ElasticDeformBatch(_torch.autograd.Function):
                   if k not in ("batch_impl", "table_dtype")}
         dxs = _api.deform_batch_gradient(dys_numpy, displacement_numpy,
                                          X_shape=ctx.x_shapes, **kwargs)
-        dxs_torch = tuple(_torch.as_tensor(dx, device=dy.device)
+        dxs_torch = tuple(_torch.as_tensor(np.array(dx), device=dy.device)
                           for dx, dy in zip(dxs, dys))
         return (None, None) + dxs_torch
 
