@@ -129,3 +129,24 @@ def test_end_to_end_scan_gate_grad_vjp(monkeypatch, rng):
         jax.clear_caches()
         _api._jitted_forward.cache_clear()
         _api._jitted_gradient.cache_clear()
+
+
+def test_scan_gate_respects_horizon(monkeypatch):
+    """A lowered SCAN_MIN must not push an axis shorter than the pole
+    horizon into the scan path (the truncated-horizon inits need
+    n > horizon); the matrix path serves short axes at any gate."""
+    monkeypatch.setenv("ELASTICDEFORM_TPU_PREFILTER_SCAN_MIN", "8")
+    assert not pf.use_scan_filter(40, 5)   # horizon 42
+    assert not pf.use_scan_filter(20, 3)   # horizon 27
+    assert pf.use_scan_filter(64, 3)
+    # end-to-end: short order-5 axis with the gate lowered still works
+    rng = np.random.default_rng(77)
+    X = rng.random((40, 30))
+    d = rng.standard_normal((2, 3, 3)) * 3
+    jax.clear_caches()
+    try:
+        out = ed.deform(jnp.asarray(X), jnp.asarray(d), order=5,
+                        mode='mirror')
+        assert np.isfinite(np.asarray(out)).all()
+    finally:
+        jax.clear_caches()
