@@ -131,6 +131,56 @@ def main():
         ok &= check(f"batched fwd sample {b_}", y[b_], yr, 5e-5)
         ok &= check(f"batched grad sample {b_}", gx[b_], gr, 5e-5)
 
+    # backward-only batched adjoint (the torch/tf batched shims' route;
+    # the api wrapper is the jit-cached path the shims actually call)
+    from elasticdeform_tpu import api as _edapi
+    gb = np.asarray(_edapi.deform_batch_gradient(
+        np.asarray(gy), np.asarray(db), order=3, mode='mirror'))
+    for b_ in range(B):
+        gr = edc.deform_grid_gradient(np.asarray(gy[b_], np.float64),
+                                      np.asarray(db[b_], np.float64),
+                                      order=3, mode='mirror',
+                                      X_shape=(32, 32, 32))
+        ok &= check(f"batch bwd-only sample {b_}", gb[b_], gr, 5e-5)
+
+    # displacement_field: linear-ramp identity on the jitted TPU path
+    shape = (48, 61)
+    d2 = rng.standard_normal((2, 3, 3)).astype(np.float32) * 4
+    field = np.asarray(jax.jit(
+        lambda dd: ed.displacement_field(dd, shape))(jnp.asarray(d2)))
+    coords = np.stack(np.meshgrid(*[np.arange(n, dtype=np.float64)
+                                    for n in shape], indexing='ij'))
+    displaced = coords + field
+    inside = np.ones(shape, bool)
+    for h, n in enumerate(shape):
+        inside &= (displaced[h] >= 0) & (displaced[h] <= n - 1)
+    ramp_out = np.asarray(ed.deform(jnp.asarray(coords[0], jnp.float32),
+                                    jnp.asarray(d2), order=1, mode='mirror'))
+    err = float(np.abs(ramp_out[inside] - displaced[0][inside]).max())
+    status = "ok  " if err <= 1e-3 else "FAIL"
+    print(f"{status} {'displacement_field ramp identity':44s} "
+          f"err {err:.3e} (tol 1e-03)", flush=True)
+    ok &= err <= 1e-3
+
+    # scan-prefilter path on the chip (gate forced low via direct call)
+    from elasticdeform_tpu.ops import prefilter as pf
+    xl = jnp.asarray(rng.random((9000, 8), dtype=np.float32))
+    a = np.asarray(jax.jit(lambda v: pf._apply_scan(v, 3, 0))(xl))
+    w = pf.spline_filter1d_np(np.asarray(xl, np.float64), 3, 0)
+    ok &= check("scan prefilter 9000-axis", a, w, 5e-4)
+    # transpose via the adjoint identity <u, S v> == <S^T u, v> (no
+    # 9000^2 host oracle matrix needed; S itself was just checked)
+    ul = jnp.asarray(rng.random((9000, 8), dtype=np.float32))
+    lhs = float(jnp.vdot(ul, jax.jit(
+        lambda v: pf._apply_scan(v, 3, 0))(xl)))
+    rhs = float(jnp.vdot(jax.jit(
+        lambda v: pf._apply_scan_transpose(v, 3, 0))(ul), xl))
+    rel = abs(lhs - rhs) / max(1.0, abs(lhs))
+    status = "ok  " if rel <= 1e-5 else "FAIL"
+    print(f"{status} {'scan transpose adjoint identity':44s} "
+          f"err {rel:.3e} (tol 1e-05)", flush=True)
+    ok &= rel <= 1e-5
+
     print("PASS" if ok else "FAIL", flush=True)
     return 0 if ok else 1
 
