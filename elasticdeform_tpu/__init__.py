@@ -38,8 +38,11 @@ from elasticdeform_tpu.core import (
     deform,
     deform_batch,
     deform_batch_gradient,
+    deform_field,
     deform_gradient,
     displacement_field,
+    map_coordinates,
+    map_coordinates_gradient,
     random_displacement,
     deform_random,
 )
@@ -53,8 +56,11 @@ __all__ = [
     "deform",
     "deform_batch",
     "deform_batch_gradient",
+    "deform_field",
     "deform_gradient",
     "displacement_field",
+    "map_coordinates",
+    "map_coordinates_gradient",
     "random_displacement",
     "deform_random",
     "__version__",

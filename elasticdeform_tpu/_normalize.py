@@ -141,6 +141,65 @@ def resolve_affine(affine, rotate, zoom, axis, output_shapes):
     return inv
 
 
+def _normalize_table_dtype(table_dtype):
+    if table_dtype is None:
+        return None
+    table_dtype = np.dtype(table_dtype).name if table_dtype != "bfloat16" \
+        else "bfloat16"
+    if table_dtype not in ("bfloat16", "float32", "float64"):
+        raise ValueError(
+            "table_dtype must be a float dtype (got %r)" % table_dtype)
+    return table_dtype
+
+
+def build_map_spec(x, axis, deform_shape, out_spatial, order, mode, cval,
+                   prefilter, coord_dtype, strategy="auto", table_dtype=None):
+    """Assemble the static :class:`DeformSpec` for a map_coordinates call.
+
+    Unlike :func:`build_spec`, the output spatial shape is the trailing
+    shape of the caller's coordinate array — it may have any rank when the
+    input has no channel (non-deformed) axes, matching
+    ``scipy.ndimage.map_coordinates`` where the output shape is
+    ``coordinates.shape[1:]``.
+    """
+    assert strategy in ("auto", "windows", "gather"), \
+        "strategy must be 'auto', 'windows' or 'gather'"
+    naxis = len(axis)
+    channels = tuple(d for d in range(x.ndim) if d not in axis)
+    if channels and len(out_spatial) != naxis:
+        raise ValueError(
+            "with non-deformed (channel) axes, coordinates must have shape "
+            f"(naxis, *out_shape) with len(out_shape) == naxis == {naxis}; "
+            f"got output rank {len(out_spatial)}.")
+    if channels:
+        out_shape = list(x.shape)
+        for h, d in enumerate(axis):
+            out_shape[d] = out_spatial[h]
+        out_shape = tuple(out_shape)
+    else:
+        out_shape = tuple(out_spatial)
+    ispec = InputSpec(
+        shape=tuple(int(s) for s in x.shape),
+        dtype=np.dtype(x.dtype).name,
+        axis=tuple(axis),
+        order=int(order),
+        mode=mode_to_code(mode),
+        cval=float(cval),
+        out_shape=out_shape,
+    )
+    return DeformSpec(
+        inputs=(ispec,),
+        deform_shape=tuple(deform_shape),
+        out_spatial=tuple(int(s) for s in out_spatial),
+        offsets=(0,) * naxis,
+        prefilter=bool(prefilter),
+        compute_dtype=default_compute_dtype(coord_dtype, x.dtype),
+        has_affine=False,
+        strategy=str(strategy),
+        table_dtype=str(_normalize_table_dtype(table_dtype) or ""),
+    )
+
+
 def build_spec(Xs, axis, deform_shape, output_shapes, output_offset,
                orders, modes, cvals, prefilter, displacement_dtype,
                has_affine, compute_dtype=None, strategy="auto",
@@ -151,12 +210,7 @@ def build_spec(Xs, axis, deform_shape, output_shapes, output_offset,
     if compute_dtype is None:
         compute_dtype = default_compute_dtype(
             displacement_dtype, *[x.dtype for x in Xs])
-    if table_dtype is not None:
-        table_dtype = np.dtype(table_dtype).name if table_dtype != "bfloat16" \
-            else "bfloat16"
-        if table_dtype not in ("bfloat16", "float32", "float64"):
-            raise ValueError(
-                "table_dtype must be a float dtype (got %r)" % table_dtype)
+    table_dtype = _normalize_table_dtype(table_dtype)
     out_spatial = tuple(output_shapes[0][d] for d in axis[0])
     inputs = tuple(
         InputSpec(

@@ -48,6 +48,24 @@ def _jitted_batch_forward(spec, use_native):
 
 
 @functools.lru_cache(maxsize=512)
+def _jitted_map_forward(spec):
+    from elasticdeform_tpu.ops.deform import map_coordinates_apply
+
+    def fn(x, coords):
+        return map_coordinates_apply(x, coords, spec)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=512)
+def _jitted_map_gradient(spec):
+    from elasticdeform_tpu.ops.deform import map_coordinates_gradient_apply
+
+    def fn(dy, coords):
+        return map_coordinates_gradient_apply(dy, coords, spec)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=512)
 def _jitted_batch_gradient(spec):
     def fn(dys, displacement, affine):
         per = lambda dys_s, d, a: deform_gradient_apply(
@@ -299,6 +317,59 @@ rotate, zoom, strategy
              None if inv_affine is None else jnp.asarray(inv_affine))
     outputs = _to_host(dxs, [np.dtype(dy.dtype) for dy in dYs])
     return outputs if isinstance(dY, list) else outputs[0]
+
+
+def map_coordinates(X, coordinates, order=3, mode='constant', cval=0.0,
+                    prefilter=True, axis=None, *, strategy="auto",
+                    table_dtype=None):
+    """Resample ``X`` at explicit per-voxel coordinates: numpy in, numpy
+    out, jit-cached.
+
+    TPU-accelerated ``scipy.ndimage.map_coordinates`` with the library's
+    reference-parity (pre-SciPy-1.6) boundary modes: ``coordinates`` has
+    shape ``(naxis, *out_shape)`` giving the input position to interpolate
+    for every output voxel; the output has shape ``out_shape`` (any rank).
+    With ``axis``, the remaining (channel) axes are carried along. Each
+    static configuration compiles once and is cached, so this is safe to
+    call per step from host code. Wrapper over the JAX-native
+    :func:`elasticdeform_tpu.map_coordinates`, which also gives gradients
+    w.r.t. the coordinates; see :func:`deform_grid` for parameter
+    semantics shared with the deformation API.
+    """
+    from elasticdeform_tpu.core import _prepare_map
+
+    coordinates, spec = _prepare_map(
+        np.asarray(X), jnp.asarray(np.asarray(coordinates)), order, mode,
+        cval, prefilter, axis, strategy, table_dtype)
+    fn = _jitted_map_forward(spec)
+    y = fn(jnp.asarray(np.asarray(X)), coordinates)
+    return np.asarray(y).astype(np.dtype(np.asarray(X).dtype), copy=False)
+
+
+def map_coordinates_gradient(dY, coordinates, order=3, mode='constant',
+                             cval=0.0, prefilter=True, axis=None,
+                             X_shape=None, *, strategy="auto"):
+    """Backward-only adjoint of :func:`map_coordinates` w.r.t. ``X``:
+    numpy in, numpy out, jit-cached.
+
+    Maps an output cotangent ``dY`` to an input cotangent of shape
+    ``X_shape`` (required) without paying a forward pass — mirroring
+    :func:`deform_grid_gradient`; all other parameters must match the
+    forward call.
+    """
+    from elasticdeform_tpu.core import _Shaped, _prepare_map
+
+    if X_shape is None:
+        raise ValueError("X_shape is required (the input shape cannot be "
+                         "inferred from dY).")
+    dY = np.asarray(dY)
+    shaped = _Shaped(tuple(int(s) for s in X_shape), dY.dtype)
+    coordinates, spec = _prepare_map(
+        shaped, jnp.asarray(np.asarray(coordinates)), order, mode, cval,
+        prefilter, axis, strategy, None)
+    fn = _jitted_map_gradient(spec)
+    dx = fn(jnp.asarray(dY), coordinates)
+    return np.asarray(dx).astype(dY.dtype, copy=False)
 
 
 def deform_batch(X, displacement, order=3, mode='constant', cval=0.0,

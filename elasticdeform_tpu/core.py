@@ -324,6 +324,104 @@ def displacement_field(displacement, shape, *, crop=None):
                               offsets, dtype, prefilter_grid=True)
 
 
+def _prepare_map(X, coordinates, order, mode, cval, prefilter, axis,
+                 strategy, table_dtype):
+    """Shared normalization for the map_coordinates entry points."""
+    if isinstance(X, list):
+        raise ValueError("map_coordinates takes a single input array "
+                         "(vmap it or loop for multiple inputs).")
+    axis_n, deform_shape = _n.normalize_axis_list(axis, [X])
+    axis_t = axis_n[0]
+    coordinates = jnp.asarray(coordinates)
+    if coordinates.ndim < 1 or coordinates.shape[0] != len(axis_t):
+        raise ValueError(
+            "coordinates should have shape (naxis, *out_shape) with one "
+            f"row per deformed axis; got {tuple(coordinates.shape)} for "
+            f"{len(axis_t)} deformed axes.")
+    (order,) = _n.normalize_order(order, [X])
+    spec = _n.build_map_spec(
+        X, axis_t, deform_shape, tuple(coordinates.shape[1:]), order, mode,
+        cval, prefilter, coordinates.dtype, strategy=strategy,
+        table_dtype=table_dtype)
+    return coordinates, spec
+
+
+def map_coordinates(X, coordinates, *, order=3, mode='constant', cval=0.0,
+                    prefilter=True, axis=None, strategy="auto",
+                    table_dtype=None):
+    """Resample ``X`` at explicit per-voxel coordinates (general warp).
+
+    The general resampler underneath :func:`deform` exposed directly — a
+    TPU-first ``scipy.ndimage.map_coordinates``: ``coordinates`` has shape
+    ``(naxis, *out_shape)`` giving, for every output voxel, the (float)
+    input position to interpolate at; the output has shape ``out_shape``
+    (any rank, e.g. ``(naxis, P)`` for a flat list of sample points).
+    Boundary ``mode`` semantics are the library's reference-parity
+    (pre-SciPy-1.6) formulas, the same ones :func:`deform` applies
+    (reference deform.c:47-128); ``order``/``cval``/``prefilter``/
+    ``strategy``/``table_dtype`` follow :func:`deform`.
+
+    With ``axis``, only the listed axes are resampled and the remaining
+    (channel) axes are carried along; the output rank must then equal the
+    input rank. Traceable and differentiable w.r.t. ``X`` *and*
+    ``coordinates``; combined with :func:`displacement_field` it
+    reproduces :func:`deform` exactly, and with an externally supplied
+    dense field it covers registration-style warps the reference cannot
+    express (see :func:`deform_field`).
+    """
+    coordinates, spec = _prepare_map(X, coordinates, order, mode, cval,
+                                     prefilter, axis, strategy, table_dtype)
+    from elasticdeform_tpu.ops.deform import map_coordinates_apply
+    return map_coordinates_apply(jnp.asarray(X), coordinates, spec)
+
+
+def map_coordinates_gradient(dY, coordinates, *, order=3, mode='constant',
+                             cval=0.0, prefilter=True, axis=None,
+                             X_shape=None, strategy="auto"):
+    """Backward-only adjoint of :func:`map_coordinates` w.r.t. ``X``.
+
+    Maps an output cotangent ``dY`` (shape ``coordinates.shape[1:]``,
+    plus channel axes when ``axis`` was used) to an input cotangent of
+    shape ``X_shape``, without paying a forward pass — mirroring
+    :func:`deform_gradient`. ``X_shape`` is required (the input extent
+    cannot be inferred from ``dY``); all other parameters must match the
+    forward call.
+    """
+    if X_shape is None:
+        raise ValueError("X_shape is required (the input shape cannot be "
+                         "inferred from dY).")
+    shaped = _Shaped(tuple(int(s) for s in X_shape), jnp.asarray(dY).dtype)
+    coordinates, spec = _prepare_map(shaped, coordinates, order, mode, cval,
+                                     prefilter, axis, strategy, None)
+    from elasticdeform_tpu.ops.deform import map_coordinates_gradient_apply
+    return map_coordinates_gradient_apply(jnp.asarray(dY), coordinates, spec)
+
+
+def deform_field(X, field, *, order=3, mode='constant', cval=0.0,
+                 prefilter=True, axis=None, strategy="auto",
+                 table_dtype=None):
+    """Deform ``X`` with a dense per-voxel displacement *field*.
+
+    ``field`` has shape ``(naxis, *out_shape)``: output voxel ``v`` takes
+    the input interpolated at ``v + field[:, v]`` — the standard
+    dense-warp operation (e.g. applying a registration/VoxelMorph-style
+    field, or a field produced by :func:`displacement_field`). With
+    ``field = displacement_field(grid, X.shape)`` this equals
+    ``deform(X, grid)`` exactly. Thin wrapper over
+    :func:`map_coordinates`; parameters follow :func:`deform`. Traceable
+    and differentiable w.r.t. ``X`` and ``field``.
+    """
+    field = jnp.asarray(field)
+    cdt = field.dtype if field.dtype in (jnp.float32, jnp.float64) else (
+        jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    idx = jnp.stack([jax.lax.broadcasted_iota(cdt, field.shape[1:], h)
+                     for h in range(field.shape[0])])
+    return map_coordinates(X, idx + field.astype(cdt), order=order,
+                           mode=mode, cval=cval, prefilter=prefilter,
+                           axis=axis, strategy=strategy,
+                           table_dtype=table_dtype)
+
+
 def random_displacement(key, points, sigma=25.0, *, ndim=None,
                         dtype=jnp.float32):
     """Sample a random control-point displacement grid with an explicit key.

@@ -464,3 +464,60 @@ def deform_gradient_apply(dys, displacement, affine, spec: DeformSpec):
         in_ispec = dataclasses.replace(ispec, out_shape=ispec.shape)
         dxs.append(_from_spatial_channels(dx, in_ispec, spatial))
     return dxs
+
+
+def map_coordinates_apply(x, coordinates, spec: DeformSpec):
+    """Resample one input at explicit per-voxel sample coordinates.
+
+    The general-resampler entry (``scipy.ndimage.map_coordinates``
+    analogue with the reference's pre-SciPy-1.6 boundary semantics):
+    ``coordinates`` has shape ``(naxis, *out_spatial)`` in voxel units of
+    the deformed axes. Reuses the full deform resampling pipeline
+    (prefilter, boundary mapping, windows fast path, cval substitution,
+    dtype cast) with the caller's dense coordinates in place of
+    ``affine(output) + offset + displacement`` — the special case the
+    reference hard-codes (deform.c:768-781), generalized.
+    """
+    cdt = spec.compute_dtype
+    ispec = spec.inputs[0]
+    coords = jnp.asarray(coordinates).astype(cdt)
+    cc = [coords[h] for h in range(len(ispec.axis))]
+    xt = _to_spatial_channels(jnp.asarray(x), ispec)
+    y, inside = _deform_one_linear(xt, cc, ispec, spec, cdt, exact_int=True)
+    if inside is not None:
+        mask = inside[..., None]
+        y = y + jnp.where(mask, jnp.zeros((), cdt),
+                          jnp.asarray(ispec.cval, dtype=cdt))
+    y = cast_output(y, ispec.dtype)
+    _, _, chan_shape = _split_axes(ispec)
+    if chan_shape:
+        return _from_spatial_channels(y, ispec, spec.out_spatial)
+    # pure case: the output rank may differ from the input rank
+    # (scipy semantics: output shape == coordinates.shape[1:])
+    return y.reshape(spec.out_spatial)
+
+
+def map_coordinates_gradient_apply(dy, coordinates, spec: DeformSpec):
+    """Backward-only adjoint of :func:`map_coordinates_apply` w.r.t. ``x``.
+
+    Maps an output cotangent to an input cotangent through the
+    hand-written transpose pipeline (no forward pass is paid), mirroring
+    :func:`deform_gradient_apply`.
+    """
+    cdt = spec.compute_dtype
+    ispec = spec.inputs[0]
+    coords = jnp.asarray(coordinates).astype(cdt)
+    cc = [coords[h] for h in range(len(ispec.axis))]
+    spatial = tuple(ispec.shape[d] for d in ispec.axis)
+    _, _, chan_shape = _split_axes(ispec)
+    if chan_shape:
+        out_ispec = dataclasses.replace(ispec, shape=ispec.out_shape)
+        dyt = _to_spatial_channels(jnp.asarray(dy), out_ispec).astype(cdt)
+    else:
+        dyt = jnp.asarray(dy).astype(cdt).reshape(*spec.out_spatial, 1)
+    dxt = _deform_one_linear_transpose(dyt, cc, ispec, spec, cdt)
+    dx = cast_output(dxt, ispec.dtype)
+    if chan_shape:
+        in_ispec = dataclasses.replace(ispec, out_shape=ispec.shape)
+        return _from_spatial_channels(dx, in_ispec, spatial)
+    return dx.reshape(spatial)

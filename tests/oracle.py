@@ -132,3 +132,57 @@ def deform_grid_oracle_oldmode(X, displacement, order=3, mode='constant',
             sample = np.where(inside, sample, cval)
         out[a] = sample
     return out.astype(X.dtype)
+
+
+def map_coordinates_oracle(X, coordinates, order=3, mode='constant',
+                           cval=0.0, prefilter=True, axis=None):
+    """All-modes oracle for ``map_coordinates`` (pre-SciPy-1.6 semantics).
+
+    Same recipe as :func:`deform_grid_oracle_oldmode` — apply the
+    library's boundary mapping first, then let scipy interpolate on a
+    mirror-padded input — but with caller-supplied dense coordinates
+    instead of grid-interpolated displacements.
+    """
+    axis = _normalize_axis(X, axis)
+    mode_code = mode_to_code(mode)
+    naxis = len(axis)
+    coords = [np.asarray(coordinates[h], dtype=np.float64)
+              for h in range(naxis)]
+
+    mapped = []
+    inside = np.ones(coords[0].shape, dtype=bool)
+    for h, d in enumerate(axis):
+        m, ins = map_coordinate_np(coords[h], X.shape[d], mode_code)
+        mapped.append(m + _ORACLE_PAD)
+        inside &= ins
+
+    Xp = X
+    for d in axis:
+        idx = mirror_index_np(np.arange(-_ORACLE_PAD, X.shape[d] + _ORACLE_PAD),
+                              X.shape[d])
+        Xp = np.take(Xp, idx, axis=d)
+
+    if naxis == X.ndim:
+        # pure case: output rank may differ from the input rank
+        sample = scipy.ndimage.map_coordinates(
+            np.asarray(Xp, dtype=np.float64), mapped, order=order,
+            mode='mirror', prefilter=prefilter)
+        if mode_code == MODE_CONSTANT:
+            sample = np.where(inside, sample, cval)
+        return sample.astype(X.dtype)
+
+    out_spatial = coords[0].shape
+    out_shape = list(X.shape)
+    for h, d in enumerate(axis):
+        out_shape[d] = out_spatial[h]
+    out = np.zeros(tuple(out_shape), dtype=np.float64)
+    iter_axes = [range(X.shape[d]) if d not in axis else [slice(None)]
+                 for d in range(X.ndim)]
+    for a in itertools.product(*iter_axes):
+        sample = scipy.ndimage.map_coordinates(
+            np.asarray(Xp[a], dtype=np.float64), mapped, order=order,
+            mode='mirror', prefilter=prefilter)
+        if mode_code == MODE_CONSTANT:
+            sample = np.where(inside, sample, cval)
+        out[a] = sample
+    return out.astype(X.dtype)

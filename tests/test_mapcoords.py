@@ -1,0 +1,234 @@
+"""Tests for the general resampler: map_coordinates / deform_field.
+
+Oracles: scipy.ndimage.map_coordinates directly for the modes whose
+semantics are unchanged in modern SciPy (mirror, constant, wrap — the same
+gating the conformance suite uses, reference tests/test_deform_grid.py:94-97),
+and the all-modes pre-1.6 oracle (tests/oracle.py map_coordinates_oracle)
+for the full mode matrix. Internal-consistency contracts: composing
+displacement_field with map_coordinates must reproduce deform exactly, and
+map_coordinates_gradient must be the exact adjoint.
+"""
+import hashlib
+
+import numpy as np
+import pytest
+import scipy.ndimage
+
+import jax
+import jax.numpy as jnp
+
+import elasticdeform_tpu as ed
+from oracle import map_coordinates_oracle
+
+ALL_MODES = ("nearest", "wrap", "reflect", "mirror", "constant")
+MODERN_MODES = ("mirror", "constant", "wrap")
+
+
+@pytest.fixture
+def rng(request):
+    seed = int(hashlib.sha256(request.node.nodeid.encode()).hexdigest()[:8],
+               16)
+    return np.random.default_rng(seed)
+
+
+def _coords(rng, in_shape, out_shape, margin=6.0):
+    """Random sample coordinates, including out-of-range positions."""
+    return np.stack([
+        rng.uniform(-margin, n - 1 + margin, size=out_shape)
+        for n in in_shape]).astype(np.float64)
+
+
+@pytest.mark.parametrize("mode", MODERN_MODES)
+@pytest.mark.parametrize("order", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize("prefilter", [True, False])
+def test_matches_scipy_modern(rng, mode, order, prefilter):
+    X = rng.random((40, 53))
+    coords = _coords(rng, X.shape, (31, 27))
+    got = np.asarray(ed.map_coordinates(X, coords, order=order, mode=mode,
+                                        cval=-1.25, prefilter=prefilter))
+    want = scipy.ndimage.map_coordinates(X, coords, order=order, mode=mode,
+                                         cval=-1.25, prefilter=prefilter)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)
+
+
+@pytest.mark.parametrize("mode", ALL_MODES)
+@pytest.mark.parametrize("order", [1, 3, 5])
+def test_all_modes_oracle(rng, mode, order):
+    X = rng.random((38, 29, 17))
+    coords = _coords(rng, X.shape, (12, 19, 9))
+    got = np.asarray(ed.map_coordinates(X, coords, order=order, mode=mode,
+                                        cval=0.5))
+    want = map_coordinates_oracle(X, coords, order=order, mode=mode, cval=0.5)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)
+
+
+@pytest.mark.parametrize("mode", ALL_MODES)
+def test_order0_oracle(rng, mode):
+    X = rng.random((50, 41))
+    coords = _coords(rng, X.shape, (33, 35))
+    got = np.asarray(ed.map_coordinates(X, coords, order=0, mode=mode))
+    want = map_coordinates_oracle(X, coords, order=0, mode=mode)
+    # f32/f64 rounding near half-integer coordinates may flip single voxels
+    assert (np.abs(got - want) > 1e-6).mean() < 0.01
+
+
+def test_flat_point_list(rng):
+    """scipy semantics: output shape == coordinates.shape[1:] — any rank."""
+    X = rng.random((30, 40))
+    coords = _coords(rng, X.shape, (257,))
+    got = np.asarray(ed.map_coordinates(X, coords, order=3, mode='mirror'))
+    assert got.shape == (257,)
+    want = scipy.ndimage.map_coordinates(X, coords, order=3, mode='mirror')
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)
+
+
+def test_reproduces_deform(rng):
+    """identity + displacement_field composed through map_coordinates
+    must equal deform exactly (same pipeline, same coordinates)."""
+    X = rng.random((40, 36))
+    d = rng.standard_normal((2, 3, 3)) * 8
+    field = ed.displacement_field(d, X.shape)
+    idx = np.stack(np.meshgrid(*[np.arange(n, dtype=np.float64)
+                                 for n in X.shape], indexing='ij'))
+    got = np.asarray(ed.map_coordinates(X, idx + np.asarray(field),
+                                        order=3, mode='mirror'))
+    want = np.asarray(ed.deform(X, d, order=3, mode='mirror'))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+def test_deform_field_matches_deform(rng):
+    X = rng.random((33, 47))
+    d = rng.standard_normal((2, 4, 3)) * 6
+    field = ed.displacement_field(d, X.shape)
+    for mode in ("mirror", "constant"):
+        got = np.asarray(ed.deform_field(X, field, order=3, mode=mode,
+                                         cval=0.25))
+        want = np.asarray(ed.deform(X, d, order=3, mode=mode, cval=0.25))
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+def test_channel_axis(rng):
+    """axis= carries the non-deformed axes along, like deform."""
+    X = rng.random((3, 26, 31))
+    coords = _coords(rng, (26, 31), (20, 22))
+    got = np.asarray(ed.map_coordinates(X, coords, order=3, mode='nearest',
+                                        axis=(1, 2)))
+    assert got.shape == (3, 20, 22)
+    for c in range(3):
+        want = np.asarray(ed.map_coordinates(X[c], coords, order=3,
+                                             mode='nearest'))
+        np.testing.assert_allclose(got[c], want, rtol=1e-10, atol=1e-10)
+
+
+def test_channel_axis_rank_check(rng):
+    X = rng.random((3, 26, 31))
+    coords = _coords(rng, (26, 31), (440,))
+    with pytest.raises(ValueError, match="channel"):
+        ed.map_coordinates(X, coords, order=3, axis=(1, 2))
+
+
+def test_coordinates_shape_check(rng):
+    X = rng.random((26, 31))
+    with pytest.raises(ValueError, match="coordinates"):
+        ed.map_coordinates(X, np.zeros((3, 10, 10)))
+
+
+def test_strategy_equivalence(rng):
+    X = rng.random((24, 28, 22))
+    coords = _coords(rng, X.shape, (15, 11, 13))
+    a = np.asarray(ed.map_coordinates(X, coords, order=3, mode='reflect',
+                                      strategy='windows'))
+    b = np.asarray(ed.map_coordinates(X, coords, order=3, mode='reflect',
+                                      strategy='gather'))
+    np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("strategy", ["windows", "gather"])
+def test_gradient_adjoint_identity(rng, strategy):
+    """map_coordinates_gradient is the exact transpose of the (linear)
+    forward: <dy, M x> == <M^T dy, x>."""
+    X = rng.random((21, 26, 18))
+    coords = _coords(rng, X.shape, (13, 17, 11))
+    dy = rng.random((13, 17, 11))
+    y = np.asarray(ed.map_coordinates(X, coords, order=3, mode='mirror',
+                                      strategy=strategy))
+    dx = np.asarray(ed.map_coordinates_gradient(
+        dy, coords, order=3, mode='mirror', X_shape=X.shape,
+        strategy=strategy))
+    lhs = float(np.vdot(dy, y))
+    rhs = float(np.vdot(dx, X))
+    assert abs(lhs - rhs) <= 1e-10 * max(1.0, abs(lhs))
+
+
+def test_gradient_requires_x_shape(rng):
+    with pytest.raises(ValueError, match="X_shape"):
+        ed.map_coordinates_gradient(np.zeros((5, 5)), np.zeros((2, 5, 5)))
+
+
+def test_grad_wrt_coordinates(rng):
+    """Differentiable w.r.t. the coordinates (finite-difference check)."""
+    X = jnp.asarray(rng.random((16, 17)))
+    coords = jnp.asarray(_coords(rng, (16, 17), (6, 7), margin=0.0))
+
+    def loss(c):
+        y = ed.map_coordinates(X, c, order=3, mode='mirror')
+        return jnp.sum(jnp.sin(y))
+
+    g = jax.grad(loss)(coords)
+    eps = 1e-6
+    for idx in [(0, 2, 3), (1, 4, 1)]:
+        dc = coords.at[idx].add(eps)
+        fd = (loss(dc) - loss(coords)) / eps
+        assert abs(float(g[idx]) - float(fd)) < 1e-4
+
+
+def test_jit_and_dtype(rng):
+    X = rng.random((20, 25)).astype(np.float32)
+    coords = _coords(rng, X.shape, (14, 15)).astype(np.float32)
+    fn = jax.jit(lambda x, c: ed.map_coordinates(x, c, order=3,
+                                                 mode='mirror'))
+    got = np.asarray(fn(X, coords))
+    assert got.dtype == np.float32
+    want = np.asarray(ed.map_coordinates(
+        X.astype(np.float64), coords.astype(np.float64), order=3,
+        mode='mirror'))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_integer_round_clamp(rng):
+    """Integer outputs round+clamp like the reference (deform.c:287-306)."""
+    X = (rng.random((24, 30)) * 255).astype(np.uint8)
+    coords = _coords(rng, X.shape, (18, 21))
+    got = np.asarray(ed.map_coordinates(X, coords, order=1, mode='mirror',
+                                        prefilter=False))
+    assert got.dtype == np.uint8
+    ref = np.asarray(ed.map_coordinates(X.astype(np.float64), coords,
+                                        order=1, mode='mirror',
+                                        prefilter=False))
+    np.testing.assert_array_equal(got,
+                                  np.clip(np.round(ref), 0, 255).astype(
+                                      np.uint8))
+
+
+def test_numpy_api_wrappers(rng):
+    """api.map_coordinates / api.map_coordinates_gradient: numpy in/out,
+    jit-cached, identical to the JAX-native path."""
+    from elasticdeform_tpu import api
+
+    X = rng.random((22, 27, 16))
+    coords = _coords(rng, X.shape, (12, 14, 9))
+    got = api.map_coordinates(X, coords, order=3, mode='reflect')
+    assert isinstance(got, np.ndarray) and got.dtype == X.dtype
+    want = np.asarray(ed.map_coordinates(X, coords, order=3, mode='reflect'))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+    dy = rng.random((12, 14, 9))
+    gx = api.map_coordinates_gradient(dy, coords, order=3, mode='reflect',
+                                      X_shape=X.shape)
+    gw = np.asarray(ed.map_coordinates_gradient(dy, coords, order=3,
+                                                mode='reflect',
+                                                X_shape=X.shape))
+    np.testing.assert_allclose(gx, gw, rtol=1e-12, atol=1e-12)
+    # second call hits the spec-keyed jit cache
+    got2 = api.map_coordinates(X, coords, order=3, mode='reflect')
+    np.testing.assert_array_equal(got, got2)

@@ -162,6 +162,30 @@ def main():
           f"err {err:.3e} (tol 1e-03)", flush=True)
     ok &= err <= 1e-3
 
+    # map_coordinates: the general resampler on the jitted TPU path —
+    # vs scipy directly (mirror semantics unchanged in modern scipy) and
+    # the deform-reproduction identity (same pipeline, same coordinates)
+    import scipy.ndimage
+    Xm = rng.random((48, 57)).astype(np.float32)
+    cm = np.stack([rng.uniform(-4, n + 3, size=(31, 29))
+                   for n in (47, 56)]).astype(np.float32)
+    got = np.asarray(jax.jit(lambda x, c: ed.map_coordinates(
+        x, c, order=3, mode='mirror'))(jnp.asarray(Xm), jnp.asarray(cm)))
+    want = scipy.ndimage.map_coordinates(np.asarray(Xm, np.float64),
+                                         np.asarray(cm, np.float64),
+                                         order=3, mode='mirror')
+    ok &= check("map_coordinates vs scipy (mirror)", got, want, 5e-5)
+    dmc = rng.standard_normal((2, 3, 3)).astype(np.float32) * 6
+    fld = np.asarray(ed.displacement_field(jnp.asarray(dmc), Xm.shape))
+    idxg = np.stack(np.meshgrid(*[np.arange(n, dtype=np.float32)
+                                  for n in Xm.shape], indexing='ij'))
+    a_mc = np.asarray(ed.map_coordinates(jnp.asarray(Xm),
+                                         jnp.asarray(idxg + fld),
+                                         order=3, mode='mirror'))
+    b_mc = np.asarray(ed.deform(jnp.asarray(Xm), jnp.asarray(dmc),
+                                order=3, mode='mirror'))
+    ok &= check("map_coordinates reproduces deform", a_mc, b_mc, 1e-5)
+
     # scan-prefilter path on the chip (gate forced low via direct call)
     from elasticdeform_tpu.ops import prefilter as pf
     xl = jnp.asarray(rng.random((9000, 8), dtype=np.float32))
