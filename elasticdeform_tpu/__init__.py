@@ -39,9 +39,11 @@ from elasticdeform_tpu.core import (
     deform_batch,
     deform_batch_gradient,
     deform_field,
+    deform_field_batch,
     deform_gradient,
     displacement_field,
     map_coordinates,
+    map_coordinates_batch,
     map_coordinates_gradient,
     random_displacement,
     deform_random,
@@ -57,9 +59,11 @@ __all__ = [
     "deform_batch",
     "deform_batch_gradient",
     "deform_field",
+    "deform_field_batch",
     "deform_gradient",
     "displacement_field",
     "map_coordinates",
+    "map_coordinates_batch",
     "map_coordinates_gradient",
     "random_displacement",
     "deform_random",

@@ -422,6 +422,70 @@ def deform_field(X, field, *, order=3, mode='constant', cval=0.0,
                            table_dtype=table_dtype)
 
 
+def map_coordinates_batch(X, coordinates, *, order=3, mode='constant',
+                          cval=0.0, prefilter=True, axis=None,
+                          strategy="auto", batch_impl="auto",
+                          table_dtype=None):
+    """Batched :func:`map_coordinates` with per-sample coordinates.
+
+    ``X``: (B, *image_shape); ``coordinates``: (B, naxis, *out_shape) —
+    the warp applied per training step in registration-style pipelines
+    (e.g. a network-predicted dense field per sample, cf.
+    :func:`deform_field_batch`). ``batch_impl='native'``/``'auto'`` weaves
+    the batch through the window machinery natively (folded into the
+    table rows, like :func:`deform_batch`); ``'vmap'`` maps the
+    per-sample kernel. Parameters follow :func:`map_coordinates`
+    (``axis`` indices refer to the per-sample shape). Traceable and
+    differentiable w.r.t. ``X`` and ``coordinates``.
+    """
+    from elasticdeform_tpu.ops.deform import (
+        map_coordinates_apply, map_coordinates_apply_batched)
+    from elasticdeform_tpu.ops.windows import window_plan
+
+    X = jnp.asarray(X)
+    coordinates = jnp.asarray(coordinates)
+    B = int(X.shape[0])
+    if coordinates.ndim < 2 or int(coordinates.shape[0]) != B:
+        raise ValueError(
+            "coordinates must have a leading batch axis matching X "
+            f"(got {tuple(coordinates.shape)} for batch {B}).")
+    sample = _Shaped(X.shape[1:], X.dtype)
+    coordinates_s, spec = _prepare_map(
+        sample, coordinates[0], order, mode, cval, prefilter, axis,
+        strategy, table_dtype)
+    ispec = spec.inputs[0]
+    use_native = batch_impl in ("native", "auto") and \
+        strategy in ("auto", "windows") and \
+        window_plan(len(ispec.axis), ispec.order) is not None
+    if use_native:
+        return map_coordinates_apply_batched(X, coordinates, spec)
+    return jax.vmap(lambda x, c: map_coordinates_apply(x, c, spec))(
+        X, coordinates)
+
+
+def deform_field_batch(X, field, *, order=3, mode='constant', cval=0.0,
+                       prefilter=True, axis=None, strategy="auto",
+                       batch_impl="auto", table_dtype=None):
+    """Batched :func:`deform_field`: per-sample dense displacement fields.
+
+    ``X``: (B, *image_shape); ``field``: (B, naxis, *out_shape) — output
+    voxel ``v`` of sample ``b`` takes sample ``b`` interpolated at
+    ``v + field[b, :, v]``. The batched warp layer for registration
+    training loops (differentiable w.r.t. ``X`` and ``field``); thin
+    wrapper over :func:`map_coordinates_batch`.
+    """
+    field = jnp.asarray(field)
+    cdt = field.dtype if field.dtype in (jnp.float32, jnp.float64) else (
+        jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    idx = jnp.stack([jax.lax.broadcasted_iota(cdt, field.shape[2:], h)
+                     for h in range(field.shape[1])])
+    return map_coordinates_batch(X, idx[None] + field.astype(cdt),
+                                 order=order, mode=mode, cval=cval,
+                                 prefilter=prefilter, axis=axis,
+                                 strategy=strategy, batch_impl=batch_impl,
+                                 table_dtype=table_dtype)
+
+
 def random_displacement(key, points, sigma=25.0, *, ndim=None,
                         dtype=jnp.float32):
     """Sample a random control-point displacement grid with an explicit key.

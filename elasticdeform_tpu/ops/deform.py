@@ -497,6 +497,35 @@ def map_coordinates_apply(x, coordinates, spec: DeformSpec):
     return y.reshape(spec.out_spatial)
 
 
+def map_coordinates_apply_batched(x, coordinates, spec: DeformSpec):
+    """Batched twin of :func:`map_coordinates_apply`.
+
+    ``x``: (B, *per_sample_shape); ``coordinates``: (B, naxis,
+    *out_spatial) — per-sample coordinates. The batch is woven natively
+    through the window machinery (folded into the table rows) like
+    :func:`deform_apply_batched`; requires the windows plan (the caller
+    guarantees it, falling back to ``vmap`` otherwise).
+    """
+    cdt = spec.compute_dtype
+    ispec = spec.inputs[0]
+    coords = jnp.asarray(coordinates).astype(cdt)
+    cc = [coords[:, h] for h in range(len(ispec.axis))]
+    x = jnp.asarray(x)
+    xt = jax.vmap(lambda a: _to_spatial_channels(a, ispec))(x)
+    y, inside = _deform_one_linear_batched(xt, cc, ispec, spec, cdt,
+                                           exact_int=True)
+    if inside is not None:
+        mask = inside[..., None]
+        y = y + jnp.where(mask, jnp.zeros((), cdt),
+                          jnp.asarray(ispec.cval, dtype=cdt))
+    y = cast_output(y, ispec.dtype)
+    _, _, chan_shape = _split_axes(ispec)
+    if chan_shape:
+        return jax.vmap(lambda a: _from_spatial_channels(
+            a, ispec, spec.out_spatial))(y)
+    return y.reshape(y.shape[0], *spec.out_spatial)
+
+
 def map_coordinates_gradient_apply(dy, coordinates, spec: DeformSpec):
     """Backward-only adjoint of :func:`map_coordinates_apply` w.r.t. ``x``.
 

@@ -232,3 +232,70 @@ def test_numpy_api_wrappers(rng):
     # second call hits the spec-keyed jit cache
     got2 = api.map_coordinates(X, coords, order=3, mode='reflect')
     np.testing.assert_array_equal(got, got2)
+
+
+@pytest.mark.parametrize("batch_impl", ["native", "vmap"])
+def test_batched_matches_per_sample(rng, batch_impl):
+    """map_coordinates_batch == per-sample map_coordinates, both impls."""
+    B = 3
+    X = rng.random((B, 20, 24, 18))
+    coords = np.stack([_coords(rng, X.shape[1:], (12, 13, 9))
+                       for _ in range(B)])
+    got = np.asarray(ed.map_coordinates_batch(X, coords, order=3,
+                                              mode='mirror',
+                                              batch_impl=batch_impl))
+    assert got.shape == (B, 12, 13, 9)
+    for b in range(B):
+        want = np.asarray(ed.map_coordinates(X[b], coords[b], order=3,
+                                             mode='mirror'))
+        np.testing.assert_allclose(got[b], want, rtol=1e-10, atol=1e-10)
+
+
+def test_batched_constant_and_channels(rng):
+    B = 2
+    X = rng.random((B, 3, 22, 25))
+    coords = np.stack([_coords(rng, (22, 25), (14, 16)) for _ in range(B)])
+    got = np.asarray(ed.map_coordinates_batch(X, coords, order=3,
+                                              mode='constant', cval=0.75,
+                                              axis=(1, 2)))
+    assert got.shape == (B, 3, 14, 16)
+    for b in range(B):
+        want = np.asarray(ed.map_coordinates(X[b], coords[b], order=3,
+                                             mode='constant', cval=0.75,
+                                             axis=(1, 2)))
+        np.testing.assert_allclose(got[b], want, rtol=1e-10, atol=1e-10)
+
+
+def test_deform_field_batch(rng):
+    """Per-sample dense fields from grids reproduce deform_batch."""
+    B = 3
+    X = rng.random((B, 26, 30))
+    d = rng.standard_normal((B, 2, 3, 3)) * 5
+    field = np.stack([np.asarray(ed.displacement_field(d[b], (26, 30)))
+                      for b in range(B)])
+    got = np.asarray(ed.deform_field_batch(X, field, order=3, mode='mirror'))
+    want = np.asarray(ed.deform_batch(X, d, order=3, mode='mirror'))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+def test_deform_field_batch_grad(rng):
+    """The batched warp is differentiable w.r.t. the field — the
+    registration-training use case."""
+    B = 2
+    X = jnp.asarray(rng.random((B, 16, 18)), jnp.float32)
+    tgt = jnp.asarray(rng.random((B, 16, 18)), jnp.float32)
+    field = jnp.asarray(rng.standard_normal((B, 2, 16, 18)) * 2, jnp.float32)
+
+    def loss(f):
+        y = ed.deform_field_batch(X, f, order=3, mode='mirror')
+        return jnp.mean((y - tgt) ** 2)
+
+    g = jax.jit(jax.grad(loss))(field)
+    assert g.shape == field.shape and bool(jnp.isfinite(g).all())
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_batched_batch_axis_check(rng):
+    X = rng.random((3, 20, 20))
+    with pytest.raises(ValueError, match="batch"):
+        ed.map_coordinates_batch(X, np.zeros((2, 2, 20, 20)))

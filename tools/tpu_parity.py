@@ -185,6 +185,22 @@ def main():
     b_mc = np.asarray(ed.deform(jnp.asarray(Xm), jnp.asarray(dmc),
                                 order=3, mode='mirror'))
     ok &= check("map_coordinates reproduces deform", a_mc, b_mc, 1e-5)
+    # batched (native table-fold route) vs per-sample singles on-chip
+    Bm = 3
+    Xb_mc = rng.random((Bm, 24, 28, 20)).astype(np.float32)
+    cb_mc = np.stack([
+        np.stack([rng.uniform(-3, n + 2, size=(13, 15, 9))
+                  for n in (23, 27, 19)])
+        for _ in range(Bm)]).astype(np.float32)
+    gb_mc = np.asarray(jax.jit(lambda x, c: ed.map_coordinates_batch(
+        x, c, order=3, mode='reflect'))(jnp.asarray(Xb_mc),
+                                        jnp.asarray(cb_mc)))
+    for b_ in range(Bm):
+        w_mc = np.asarray(ed.map_coordinates(jnp.asarray(Xb_mc[b_]),
+                                             jnp.asarray(cb_mc[b_]),
+                                             order=3, mode='reflect'))
+        ok &= check(f"map_coordinates_batch sample {b_}", gb_mc[b_], w_mc,
+                    1e-5)
 
     # scan-prefilter path on the chip (gate forced low via direct call)
     from elasticdeform_tpu.ops import prefilter as pf
