@@ -9,6 +9,8 @@ from elasticdeform_tpu.parallel.sharding import (
 from elasticdeform_tpu.parallel.spatial import (
     sharded_deform_spatial,
     sharded_deform_batched_spatial,
+    sharded_deform_field_spatial,
+    sharded_deform_field_batched_spatial,
     sharded_deform_spatial_nd,
     sharded_deform_batched_spatial_nd,
     validate_max_displacement,
@@ -21,6 +23,8 @@ __all__ = [
     "sharded_deform",
     "sharded_deform_spatial",
     "sharded_deform_batched_spatial",
+    "sharded_deform_field_spatial",
+    "sharded_deform_field_batched_spatial",
     "sharded_deform_spatial_nd",
     "sharded_deform_batched_spatial_nd",
     "validate_max_displacement",

@@ -352,7 +352,12 @@ def _spatial_crop_impl(mesh, x, displacement, max_displacement, order, mode,
 
 
 def _spatial_impl(mesh, x, displacement, max_displacement, order, mode,
-                  cval, prefilter, axis_name, validate, batch_axis):
+                  cval, prefilter, axis_name, validate, batch_axis,
+                  dense_field=False):
+    """``dense_field=True``: ``displacement`` is the dense per-voxel field
+    ((B,) naxis, S0, ...) sharded along the volume axis with the input —
+    each rank consumes its own slab directly (no grid interpolation),
+    serving :func:`sharded_deform_field_spatial`."""
     batched = batch_axis is not None
     is_list = isinstance(x, (list, tuple))
     xs = [jnp.asarray(a) for a in (x if is_list else [x])]
@@ -382,14 +387,31 @@ def _spatial_impl(mesh, x, displacement, max_displacement, order, mode,
         f"halo ({halo}) + 1 must fit in one shard ({s}); use fewer shards "
         f"or a smaller max_displacement")
 
+    if dense_field:
+        exp = ((naxis,) + global_shape)
+        got = tuple(int(d) for d in displacement.shape[1 if batched else 0:])
+        assert got == exp, \
+            f"dense field must have shape {'(B, ' if batched else '('}" \
+            f"naxis, *volume_shape); got trailing {got}, expected {exp}"
+
     if validate:
         if isinstance(displacement, jax.core.Tracer):
             raise ValueError(
                 "validate=True needs a concrete displacement; under jit "
                 "call validate_max_displacement(...) outside the trace")
         disp_np = np.asarray(displacement)
-        for d_s in (disp_np if batched else [disp_np]):
-            validate_max_displacement(d_s, max_displacement, global_shape)
+        if dense_field:
+            worst = float(np.abs(
+                disp_np[:, 0] if batched else disp_np[0]).max())
+            if worst > max_displacement:
+                raise ValueError(
+                    f"dense field exceeds max_displacement along the "
+                    f"sharded axis: |field| up to {worst} > "
+                    f"{max_displacement}")
+        else:
+            for d_s in (disp_np if batched else [disp_np]):
+                validate_max_displacement(d_s, max_displacement,
+                                          global_shape)
 
     cdt = default_compute_dtype(*( [a.dtype for a in xs]
                                    + [displacement.dtype]))
@@ -432,12 +454,16 @@ def _spatial_impl(mesh, x, displacement, max_displacement, order, mode,
                 tail = _pp_block(from_left[..., None])
                 xp = jnp.concatenate([xp, head, tail], axis=0)
             slabs.append(xp)
-        disp_f = _prefilter_displacement(disp, cdt)
-
-        # --- dense displacement at global output positions ---
         out_spatial = (s,) + global_shape[1:]
-        displ = _dense_displacement_offset(disp_f, out_spatial, global_shape,
-                                           row0, cdt)
+        if dense_field:
+            # the rank's own slab of the caller's field IS the dense
+            # displacement at its global output positions
+            displ = disp.astype(cdt)
+        else:
+            # --- dense displacement at global output positions ---
+            disp_f = _prefilter_displacement(disp, cdt)
+            displ = _dense_displacement_offset(disp_f, out_spatial,
+                                               global_shape, row0, cdt)
 
         # --- coordinates: global frame, then slab-local ---
         coords = [jax.lax.broadcasted_iota(cdt, out_spatial, h)
@@ -486,11 +512,13 @@ def _spatial_impl(mesh, x, displacement, max_displacement, order, mode,
         # moves every local sample's halo
         body = jax.vmap(local_fn)
         spec_x = P(batch_axis, axis_name, *([None] * (naxis - 1)))
-        spec_d = P(batch_axis, *([None] * (naxis + 1)))
+        spec_d = P(batch_axis, None, axis_name, *([None] * (naxis - 1))) \
+            if dense_field else P(batch_axis, *([None] * (naxis + 1)))
     else:
         body = local_fn
         spec_x = P(axis_name, *([None] * (naxis - 1)))
-        spec_d = P(*([None] * (naxis + 1)))
+        spec_d = P(None, axis_name, *([None] * (naxis - 1))) \
+            if dense_field else P(*([None] * (naxis + 1)))
     fn = shard_map(body, mesh=mesh,
                    in_specs=(spec_d,) + (spec_x,) * len(xs),
                    out_specs=(spec_x,) * len(xs))
@@ -574,6 +602,53 @@ def sharded_deform_batched_spatial(mesh: Mesh, x, displacement, *,
     return _spatial_impl(mesh, x, displacement, max_displacement, order,
                          mode, cval, prefilter, shard_axis, validate,
                          batch_axis)
+
+
+def sharded_deform_field_spatial(mesh: Mesh, x, field, *,
+                                 max_displacement: float, order: int = 3,
+                                 mode: str = 'mirror', cval=0.0,
+                                 prefilter: bool = True,
+                                 axis_name: str = "shard",
+                                 validate: bool = False):
+    """Warp a spatially-sharded volume with a dense displacement field.
+
+    The sharded counterpart of :func:`elasticdeform_tpu.deform_field`:
+    ``field`` has shape ``(naxis, *x.shape)`` and is sharded along the
+    volume axis *with* the volume (each rank holds the field slab for its
+    own output voxels, so no interpolation or gathering of the field is
+    needed) — output voxel ``v`` takes the input interpolated at
+    ``v + field[:, v]``. Registration-style warps of volumes too large
+    for one chip. ``max_displacement`` bounds ``|field[0]|`` (the sharded
+    axis) and sizes the halo exchange; other parameters and the
+    restrictions (no affine, one shared mode) follow
+    :func:`sharded_deform_spatial`.
+
+    Returns the warped volume(s), sharded like the input.
+    """
+    return _spatial_impl(mesh, x, field, max_displacement, order, mode,
+                         cval, prefilter, axis_name, validate, None,
+                         dense_field=True)
+
+
+def sharded_deform_field_batched_spatial(mesh: Mesh, x, field, *,
+                                         max_displacement: float,
+                                         order: int = 3,
+                                         mode: str = 'mirror', cval=0.0,
+                                         prefilter: bool = True,
+                                         batch_axis: str = "batch",
+                                         shard_axis: str = "shard",
+                                         validate: bool = False):
+    """Hybrid batched + spatially-sharded dense-field warp over a 2-D mesh.
+
+    ``x``: (B, S0, ...) with B over ``batch_axis`` and S0 over
+    ``shard_axis``; ``field``: (B, naxis, S0, ...) per-sample dense
+    fields, sharded along the volume axis with the volume. The batched
+    registration warp for volumes too large for one chip — cf.
+    :func:`sharded_deform_batched_spatial`.
+    """
+    return _spatial_impl(mesh, x, field, max_displacement, order, mode,
+                         cval, prefilter, shard_axis, validate, batch_axis,
+                         dense_field=True)
 
 
 def sharded_deform_spatial_nd(mesh: Mesh, x, displacement, *,

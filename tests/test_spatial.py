@@ -12,7 +12,8 @@ import elasticdeform_tpu as ed
 # the compile time dominates the suite; quick tier skips them
 pytestmark = pytest.mark.slow
 from elasticdeform_tpu.parallel import (
-    sharded_deform_spatial, validate_max_displacement,
+    sharded_deform_spatial, sharded_deform_field_spatial,
+    sharded_deform_field_batched_spatial, validate_max_displacement,
 )
 
 # Each test gets its OWN deterministic RNG (seeded from the test id), so
@@ -394,3 +395,70 @@ def test_spatial_scan_prefilter_gate(rng, monkeypatch):
                                    rtol=1e-5, atol=1e-5)
     finally:
         jax.clear_caches()
+
+
+def test_sharded_field_matches_single_device(rng):
+    """Dense-field warp on a sharded volume == deform_field single-device."""
+    mesh = _mesh(4)
+    S = (112, 20, 12)
+    x = rng.random(S).astype(np.float32)
+    d = (rng.standard_normal((3, 3, 3, 3)) * 3).astype(np.float32)
+    field = np.array(ed.displacement_field(jnp.asarray(d), S),
+                     np.float32)
+    field[0] = np.clip(field[0], -3.5, 3.5)
+    got = np.asarray(sharded_deform_field_spatial(
+        mesh, jnp.asarray(x), jnp.asarray(field), max_displacement=4,
+        order=3, mode='mirror', validate=True))
+    want = np.asarray(ed.deform_field(jnp.asarray(x), jnp.asarray(field),
+                                      order=3, mode='mirror'))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ALL_MODES)
+def test_sharded_field_all_modes(rng, mode):
+    mesh = _mesh(4)
+    S = (48, 16)
+    x = rng.random(S).astype(np.float32)
+    field = np.clip(rng.standard_normal((2, *S)) * 2.5,
+                    -2.9, 2.9).astype(np.float32)
+    got = np.asarray(sharded_deform_field_spatial(
+        mesh, jnp.asarray(x), jnp.asarray(field), max_displacement=3,
+        order=3, mode=mode, cval=0.5, prefilter=False))
+    want = np.asarray(ed.deform_field(jnp.asarray(x), jnp.asarray(field),
+                                      order=3, mode=mode, cval=0.5,
+                                      prefilter=False))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_field_batched_hybrid(rng):
+    """(B over batch axis) x (volume over shard axis), per-sample fields."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ("batch", "shard"))
+    B, S = 4, (48, 14)
+    x = rng.random((B, *S)).astype(np.float32)
+    field = np.clip(rng.standard_normal((B, 2, *S)) * 2,
+                    -2.9, 2.9).astype(np.float32)
+    got = np.asarray(sharded_deform_field_batched_spatial(
+        mesh, jnp.asarray(x), jnp.asarray(field), max_displacement=3,
+        order=3, mode='nearest', prefilter=False))
+    for b in range(B):
+        want = np.asarray(ed.deform_field(jnp.asarray(x[b]),
+                                          jnp.asarray(field[b]),
+                                          order=3, mode='nearest',
+                                          prefilter=False))
+        np.testing.assert_allclose(got[b], want, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_field_validate_raises(rng):
+    mesh = _mesh(4)
+    S = (48, 16)
+    x = rng.random(S).astype(np.float32)
+    field = np.zeros((2, *S), np.float32)
+    field[0, 5, 5] = 9.0
+    with pytest.raises(ValueError, match="max_displacement"):
+        sharded_deform_field_spatial(mesh, jnp.asarray(x),
+                                     jnp.asarray(field),
+                                     max_displacement=3, prefilter=False,
+                                     validate=True)
