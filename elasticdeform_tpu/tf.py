@@ -106,3 +106,44 @@ def deform_batch(X, displacement, **kwargs):
 
     ys = _deform(displacement, *Xs)
     return list(ys) if is_list else ys[0]
+
+
+def map_coordinates(X, coordinates, **kwargs):
+    """Resample a tensor at explicit coordinates as a TensorFlow op with
+    a custom gradient (TPU-accelerated ``scipy.ndimage.map_coordinates``).
+
+    ``X``: the input tensor; ``coordinates``: ``(naxis, *out_shape)``.
+    Keyword parameters follow :func:`elasticdeform_tpu.map_coordinates`.
+    Gradients flow to ``X`` via the backward-only adjoint; the
+    coordinates' gradient is poisoned with NaNs like the displacement in
+    :func:`deform_grid` (use the JAX-native API for coordinate
+    gradients).
+    """
+    grad_kwargs = {k: v for k, v in kwargs.items()
+                   if k not in ("table_dtype",)}
+
+    @_tf.custom_gradient
+    def _map(coordinates, x):
+        x_shape = tuple(int(s) for s in x.shape)
+
+        def _forward(coordinates, x):
+            return _api.map_coordinates(np.asarray(x),
+                                        np.asarray(coordinates), **kwargs)
+
+        y = _tf.py_function(_forward, [coordinates, x], x.dtype)
+
+        def _grad(dy):
+            def _backward(coordinates, dy):
+                return _api.map_coordinates_gradient(
+                    np.asarray(dy), np.asarray(coordinates),
+                    X_shape=x_shape, **grad_kwargs)
+
+            dx = _tf.py_function(_backward, [coordinates, dy], dy.dtype)
+            dx.set_shape(x_shape)
+            nan = _tf.constant(float("nan"),
+                               dtype=_tf.as_dtype(coordinates.dtype))
+            return [nan * _tf.cast(coordinates, nan.dtype), dx]
+
+        return y, _grad
+
+    return _map(coordinates, X)

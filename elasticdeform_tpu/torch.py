@@ -118,3 +118,43 @@ def deform_batch(X, displacement, **kwargs):
     if isinstance(X, (list, tuple)):
         return list(ys)
     return ys[0]
+
+
+class MapCoordinates(_torch.autograd.Function):
+    """General resampler (:func:`elasticdeform_tpu.api.map_coordinates`)
+    as a differentiable PyTorch op. Gradients flow to the image input via
+    the backward-only adjoint; like the displacement in the deform shims,
+    the coordinates get no gradient here (use the JAX-native
+    :func:`elasticdeform_tpu.map_coordinates` for coordinate gradients)."""
+
+    @staticmethod
+    def forward(ctx, coordinates, kwargs, x):
+        ctx.save_for_backward(coordinates)
+        ctx.kwargs = kwargs
+        ctx.x_shape = tuple(x.shape)
+        y = _api.map_coordinates(x.detach().cpu().numpy(),
+                                 coordinates.detach().cpu().numpy(),
+                                 **kwargs)
+        return _torch.as_tensor(np.array(y), device=x.device)
+
+    @staticmethod
+    def backward(ctx, dy):
+        (coordinates,) = ctx.saved_tensors
+        kwargs = {k: v for k, v in ctx.kwargs.items()
+                  if k not in ("table_dtype",)}
+        dx = _api.map_coordinates_gradient(
+            dy.detach().cpu().numpy(),
+            coordinates.detach().cpu().numpy(),
+            X_shape=ctx.x_shape, **kwargs)
+        return None, None, _torch.as_tensor(np.array(dx), device=dy.device)
+
+
+def map_coordinates(X, coordinates, **kwargs):
+    """Resample a tensor at explicit coordinates as a differentiable
+    PyTorch op (TPU-accelerated ``scipy.ndimage.map_coordinates``).
+
+    ``X``: the input tensor; ``coordinates``: ``(naxis, *out_shape)``.
+    Keyword parameters follow :func:`elasticdeform_tpu.map_coordinates`.
+    Gradients flow to ``X`` only.
+    """
+    return MapCoordinates.apply(coordinates, kwargs, X)

@@ -1,0 +1,67 @@
+"""Example: dense deformable registration with the differentiable warp.
+
+Demonstrates the general-resampler surface the grid-based reference cannot
+express: ``deform_field`` warps an image with a dense per-voxel
+displacement field and is differentiable w.r.t. the FIELD, so gradient
+descent on a similarity loss + smoothness penalty recovers the deformation
+aligning a moving image to a fixed one — the core loop of
+VoxelMorph-style registration, running jit-compiled on the TPU.
+
+Run (from the repo root): python examples/registration_field.py
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run without installing
+import elasticdeform_tpu as ed
+
+
+def main():
+    rng = np.random.default_rng(0)
+
+    # a smooth synthetic image and a known ground-truth deformation
+    shape = (96, 96)
+    yy, xx = np.meshgrid(*[np.linspace(-3, 3, n) for n in shape],
+                         indexing='ij')
+    moving = np.exp(-(yy ** 2 + xx ** 2)) + 0.5 * np.sin(2 * yy) * np.cos(xx)
+    moving = jnp.asarray(moving, jnp.float32)
+
+    true_grid = jnp.asarray(rng.standard_normal((2, 4, 4)) * 4, jnp.float32)
+    fixed = ed.deform(moving, true_grid, order=3, mode='mirror')
+    true_field = ed.displacement_field(true_grid, shape)
+
+    # optimize a dense field: similarity + smoothness (finite differences)
+    def loss_fn(field):
+        warped = ed.deform_field(moving, field, order=3, mode='mirror')
+        sim = jnp.mean((warped - fixed) ** 2)
+        smooth = sum(jnp.mean(jnp.diff(field, axis=a) ** 2)
+                     for a in (1, 2))
+        return sim + 0.1 * smooth
+
+    @jax.jit
+    def step(field, vel):
+        loss, g = jax.value_and_grad(loss_fn)(field)
+        vel = 0.9 * vel - 8000.0 * g          # heavy-ball momentum
+        return field + vel, vel, loss
+
+    field = jnp.zeros((2, *shape), jnp.float32)
+    vel = jnp.zeros_like(field)
+    for i in range(600):
+        field, vel, loss = step(field, vel)
+        if i % 150 == 0 or i == 599:
+            err = float(jnp.abs(field - true_field).mean())
+            print(f"iter {i:4d}  loss {float(loss):.3e}  "
+                  f"mean |field - truth| {err:.3f} voxels")
+
+    final = float(jnp.mean(
+        (ed.deform_field(moving, field, order=3, mode='mirror')
+         - fixed) ** 2))
+    print(f"final similarity MSE {final:.3e} "
+          f"(initial {float(jnp.mean((moving - fixed) ** 2)):.3e})")
+
+
+if __name__ == "__main__":
+    main()

@@ -258,3 +258,51 @@ def test_tf_batch_roundtrip():
         loss_w, D_val, order=3, mode='mirror'))
     np.testing.assert_allclose(gX.numpy(), want_grad,
                                rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.skipif(torch is None, reason="PyTorch was not loaded.")
+def test_torch_map_coordinates_roundtrip():
+    import elasticdeform_tpu.torch as etorch
+    from elasticdeform_tpu import api
+    shape = (26, 31)
+    coords = np.stack([RNG.uniform(-3, n + 2, size=(17, 14))
+                       for n in shape])
+    X_val = RNG.random(shape)
+
+    ref_fwd = api.map_coordinates(X_val, coords, order=3, mode='mirror')
+    dY_val = RNG.random(ref_fwd.shape)
+    ref_bwd = api.map_coordinates_gradient(dY_val, coords, order=3,
+                                           mode='mirror', X_shape=shape)
+
+    X = torch.tensor(X_val, requires_grad=True)
+    Y = etorch.map_coordinates(X, torch.tensor(coords), order=3,
+                               mode='mirror')
+    Y.backward(torch.tensor(dY_val))
+
+    np.testing.assert_almost_equal(ref_fwd, Y.detach().numpy())
+    np.testing.assert_almost_equal(ref_bwd, X.grad.detach().numpy())
+
+
+@pytest.mark.skipif(tf is None, reason="TensorFlow was not loaded.")
+def test_tf_map_coordinates_roundtrip():
+    import elasticdeform_tpu.tf as etf
+    from elasticdeform_tpu import api
+    shape = (24, 28)
+    coords = np.stack([RNG.uniform(-3, n + 2, size=(15, 13))
+                       for n in shape])
+    X_val = RNG.random(shape)
+
+    ref_fwd = api.map_coordinates(X_val, coords, order=3, mode='nearest')
+    dY_val = RNG.random(ref_fwd.shape)
+    ref_bwd = api.map_coordinates_gradient(dY_val, coords, order=3,
+                                           mode='nearest', X_shape=shape)
+
+    X = tf.Variable(X_val)
+    coords_tf = tf.constant(coords)
+    with tf.GradientTape() as tape:
+        Y = etf.map_coordinates(X, coords_tf, order=3, mode='nearest')
+        loss = tf.reduce_sum(Y * tf.constant(dY_val))
+    dX = tape.gradient(loss, X)
+
+    np.testing.assert_almost_equal(ref_fwd, Y.numpy())
+    np.testing.assert_almost_equal(ref_bwd, dX.numpy())
