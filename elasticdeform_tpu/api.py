@@ -338,12 +338,15 @@ def map_coordinates(X, coordinates, order=3, mode='constant', cval=0.0,
     """
     from elasticdeform_tpu.core import _prepare_map
 
+    X = np.asarray(X)
     coordinates, spec = _prepare_map(
-        np.asarray(X), jnp.asarray(np.asarray(coordinates)), order, mode,
+        X, jnp.asarray(np.asarray(coordinates)), order, mode,
         cval, prefilter, axis, strategy, table_dtype)
     fn = _jitted_map_forward(spec)
-    y = fn(jnp.asarray(np.asarray(X)), coordinates)
-    return np.asarray(y).astype(np.dtype(np.asarray(X).dtype), copy=False)
+    y = fn(jnp.asarray(X), coordinates)
+    # astype preserves the numpy dtype contract when x64 is disabled
+    # (the device path computes/casts in f32 then; cf. _to_host)
+    return np.asarray(y).astype(X.dtype, copy=False)
 
 
 def map_coordinates_gradient(dY, coordinates, order=3, mode='constant',

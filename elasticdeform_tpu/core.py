@@ -411,15 +411,22 @@ def deform_field(X, field, *, order=3, mode='constant', cval=0.0,
     :func:`map_coordinates`; parameters follow :func:`deform`. Traceable
     and differentiable w.r.t. ``X`` and ``field``.
     """
+    coords = _identity_plus_field(field, lead=0)
+    return map_coordinates(X, coords, order=order, mode=mode, cval=cval,
+                           prefilter=prefilter, axis=axis,
+                           strategy=strategy, table_dtype=table_dtype)
+
+
+def _identity_plus_field(field, lead):
+    """``identity + field`` sample coordinates from a dense displacement
+    field with ``lead`` leading (batch) axes before the component axis."""
     field = jnp.asarray(field)
     cdt = field.dtype if field.dtype in (jnp.float32, jnp.float64) else (
         jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-    idx = jnp.stack([jax.lax.broadcasted_iota(cdt, field.shape[1:], h)
-                     for h in range(field.shape[0])])
-    return map_coordinates(X, idx + field.astype(cdt), order=order,
-                           mode=mode, cval=cval, prefilter=prefilter,
-                           axis=axis, strategy=strategy,
-                           table_dtype=table_dtype)
+    spatial = field.shape[lead + 1:]
+    idx = jnp.stack([jax.lax.broadcasted_iota(cdt, spatial, h)
+                     for h in range(field.shape[lead])])
+    return idx.reshape((1,) * lead + idx.shape) + field.astype(cdt)
 
 
 def map_coordinates_batch(X, coordinates, *, order=3, mode='constant',
@@ -474,14 +481,9 @@ def deform_field_batch(X, field, *, order=3, mode='constant', cval=0.0,
     training loops (differentiable w.r.t. ``X`` and ``field``); thin
     wrapper over :func:`map_coordinates_batch`.
     """
-    field = jnp.asarray(field)
-    cdt = field.dtype if field.dtype in (jnp.float32, jnp.float64) else (
-        jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-    idx = jnp.stack([jax.lax.broadcasted_iota(cdt, field.shape[2:], h)
-                     for h in range(field.shape[1])])
-    return map_coordinates_batch(X, idx[None] + field.astype(cdt),
-                                 order=order, mode=mode, cval=cval,
-                                 prefilter=prefilter, axis=axis,
+    coords = _identity_plus_field(field, lead=1)
+    return map_coordinates_batch(X, coords, order=order, mode=mode,
+                                 cval=cval, prefilter=prefilter, axis=axis,
                                  strategy=strategy, batch_impl=batch_impl,
                                  table_dtype=table_dtype)
 

@@ -390,25 +390,29 @@ def _spatial_impl(mesh, x, displacement, max_displacement, order, mode,
     if dense_field:
         exp = ((naxis,) + global_shape)
         got = tuple(int(d) for d in displacement.shape[1 if batched else 0:])
-        assert got == exp, \
-            f"dense field must have shape {'(B, ' if batched else '('}" \
-            f"naxis, *volume_shape); got trailing {got}, expected {exp}"
+        if got != exp:
+            raise ValueError(
+                f"dense field must have shape "
+                f"{'(B, ' if batched else '('}naxis, *volume_shape); got "
+                f"trailing {got}, expected {exp}")
 
     if validate:
         if isinstance(displacement, jax.core.Tracer):
             raise ValueError(
                 "validate=True needs a concrete displacement; under jit "
                 "call validate_max_displacement(...) outside the trace")
-        disp_np = np.asarray(displacement)
         if dense_field:
-            worst = float(np.abs(
-                disp_np[:, 0] if batched else disp_np[0]).max())
+            # device-side reduction: the field is volume-sized (and may be
+            # sharded) — only the scalar max comes to the host
+            worst = float(jnp.abs(
+                displacement[:, 0] if batched else displacement[0]).max())
             if worst > max_displacement:
                 raise ValueError(
                     f"dense field exceeds max_displacement along the "
                     f"sharded axis: |field| up to {worst} > "
                     f"{max_displacement}")
         else:
+            disp_np = np.asarray(displacement)
             for d_s in (disp_np if batched else [disp_np]):
                 validate_max_displacement(d_s, max_displacement,
                                           global_shape)
