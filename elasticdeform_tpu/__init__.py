@@ -35,6 +35,7 @@ from elasticdeform_tpu.api import (
     deform_grid_gradient,
 )
 from elasticdeform_tpu.core import (
+    affine_transform,
     deform,
     deform_batch,
     deform_batch_gradient,
@@ -45,6 +46,8 @@ from elasticdeform_tpu.core import (
     map_coordinates,
     map_coordinates_batch,
     map_coordinates_gradient,
+    spline_filter,
+    spline_filter1d,
     random_displacement,
     deform_random,
 )
@@ -52,6 +55,7 @@ from elasticdeform_tpu.core import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "affine_transform",
     "deform_grid",
     "deform_random_grid",
     "deform_grid_gradient",
@@ -65,6 +69,8 @@ __all__ = [
     "map_coordinates",
     "map_coordinates_batch",
     "map_coordinates_gradient",
+    "spline_filter",
+    "spline_filter1d",
     "random_displacement",
     "deform_random",
     "__version__",

@@ -488,6 +488,96 @@ def deform_field_batch(X, field, *, order=3, mode='constant', cval=0.0,
                                  table_dtype=table_dtype)
 
 
+def affine_transform(X, matrix, offset=0.0, *, output_shape=None, order=3,
+                     mode='constant', cval=0.0, prefilter=True, axis=None,
+                     strategy="auto", table_dtype=None):
+    """Affine resampling (``scipy.ndimage.affine_transform`` equivalent).
+
+    Output voxel ``o`` takes the input interpolated at
+    ``matrix @ o + offset`` (the pull-back convention). ``matrix`` may be
+    ``(naxis, naxis)``, a length-``naxis`` vector (per-axis scaling), or
+    the ``(naxis+1, naxis+1)`` homogeneous form (whose last column
+    supplies ``offset``); ``offset`` is a scalar or length-``naxis``
+    vector. ``output_shape`` defaults to the input's (deformed-axes)
+    shape. Boundary semantics, channel handling (``axis``) and the
+    remaining parameters follow :func:`map_coordinates`, which this is a
+    thin wrapper over — traceable and differentiable w.r.t. ``X``,
+    ``matrix`` and ``offset``. For the deformation-composed affine of the
+    reference API, see :func:`deform`'s ``affine``/``rotate``/``zoom``.
+    """
+    X = jnp.asarray(X)
+    axis_n, deform_shape = _n.normalize_axis_list(axis, [X])
+    naxis = len(axis_n[0])
+    matrix = jnp.asarray(matrix)
+    cdt = jnp.float64 if (jax.config.jax_enable_x64 and
+                          matrix.dtype == jnp.float64) else jnp.float32
+    matrix = matrix.astype(cdt)
+    if matrix.ndim == 2 and matrix.shape == (naxis + 1, naxis + 1):
+        offset = matrix[:naxis, naxis]
+        matrix = matrix[:naxis, :naxis]
+    elif matrix.ndim == 1 and matrix.shape != (naxis,) or \
+            matrix.ndim == 2 and matrix.shape != (naxis, naxis) or \
+            matrix.ndim not in (1, 2):
+        raise ValueError(
+            f"matrix should have shape ({naxis},), ({naxis}, {naxis}) or "
+            f"({naxis + 1}, {naxis + 1}); got {tuple(matrix.shape)}.")
+    offset = jnp.broadcast_to(jnp.asarray(offset).astype(cdt), (naxis,))
+    if output_shape is None:
+        output_shape = tuple(deform_shape)
+    else:
+        output_shape = tuple(int(s) for s in output_shape)
+        if len(output_shape) != naxis:
+            raise ValueError(
+                f"output_shape must have one entry per deformed axis "
+                f"({naxis}); got {output_shape}.")
+    iotas = [jax.lax.broadcasted_iota(cdt, output_shape, h)
+             for h in range(naxis)]
+    if matrix.ndim == 1:
+        cc = [matrix[h] * iotas[h] + offset[h] for h in range(naxis)]
+    else:
+        cc = [sum(matrix[h, l] * iotas[l] for l in range(naxis))
+              + offset[h] for h in range(naxis)]
+    return map_coordinates(X, jnp.stack(cc), order=order, mode=mode,
+                           cval=cval, prefilter=prefilter, axis=axis,
+                           strategy=strategy, table_dtype=table_dtype)
+
+
+def spline_filter1d(X, *, order=3, axis=0):
+    """B-spline prefilter along one axis (``scipy.ndimage.spline_filter1d``
+    with mirror boundaries — the filter :func:`deform` and
+    :func:`map_coordinates` apply when ``prefilter=True``).
+
+    Exposed for the precompute pattern: filter an image ONCE into spline
+    coefficients, then run many warps with ``prefilter=False`` — e.g. a
+    registration loop resampling the same moving image every iteration
+    pays the prefilter a single time. Runs as one MXU matmul (or an
+    O(log n)-depth associative scan past the large-axis gate). Traceable
+    and differentiable; no-op for ``order <= 1``. Cf. reference
+    deform_grid.py:154-169.
+    """
+    from elasticdeform_tpu.ops import prefilter as _pf
+    (order,) = _n.normalize_order(order, [jnp.asarray(X)])
+    return _pf.spline_filter1d(jnp.asarray(X), order,
+                               axis % jnp.asarray(X).ndim)
+
+
+def spline_filter(X, *, order=3, axis=None):
+    """B-spline prefilter over several axes (``scipy.ndimage.spline_filter``
+    equivalent): :func:`spline_filter1d` applied along each axis in turn.
+
+    ``axis``: the axes to filter (default: all) — pass the deformed axes
+    when channel axes are carried along.
+    """
+    X = jnp.asarray(X)
+    if axis is None:
+        axis = tuple(range(X.ndim))
+    elif isinstance(axis, int):
+        axis = (axis,)
+    for d in axis:
+        X = spline_filter1d(X, order=order, axis=d)
+    return X
+
+
 def random_displacement(key, points, sigma=25.0, *, ndim=None,
                         dtype=jnp.float32):
     """Sample a random control-point displacement grid with an explicit key.

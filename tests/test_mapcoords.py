@@ -299,3 +299,89 @@ def test_batched_batch_axis_check(rng):
     X = rng.random((3, 20, 20))
     with pytest.raises(ValueError, match="batch"):
         ed.map_coordinates_batch(X, np.zeros((2, 2, 20, 20)))
+
+
+@pytest.mark.parametrize("order", [2, 3, 4, 5])
+def test_spline_filter_matches_scipy(rng, order):
+    X = rng.random((30, 41))
+    got = np.asarray(ed.spline_filter1d(X, order=order, axis=1))
+    want = scipy.ndimage.spline_filter1d(X, order=order, axis=1,
+                                         mode='mirror')
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+    got = np.asarray(ed.spline_filter(X, order=order))
+    want = scipy.ndimage.spline_filter(X, order=order, mode='mirror')
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+def test_prefilter_precompute_pattern(rng):
+    """Filter once + N warps with prefilter=False == prefilter=True warps."""
+    X = rng.random((28, 33))
+    coef = ed.spline_filter(X, order=3)
+    for seed in (1, 2):
+        coords = _coords(np.random.default_rng(seed), X.shape, (17, 19))
+        a = np.asarray(ed.map_coordinates(coef, coords, order=3,
+                                          mode='mirror', prefilter=False))
+        b = np.asarray(ed.map_coordinates(X, coords, order=3,
+                                          mode='mirror', prefilter=True))
+        np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.parametrize("mode", MODERN_MODES)
+def test_affine_transform_matches_scipy(rng, mode):
+    X = rng.random((32, 37))
+    M = np.eye(2) + rng.standard_normal((2, 2)) * 0.1
+    off = rng.standard_normal(2) * 3
+    got = np.asarray(ed.affine_transform(X, M, off, order=3, mode=mode,
+                                         cval=0.5))
+    want = scipy.ndimage.affine_transform(X, M, off, order=3, mode=mode,
+                                          cval=0.5)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)
+
+
+def test_affine_transform_forms(rng):
+    """1-D scaling vector and homogeneous matrix match the (n,n)+offset
+    form; output_shape is honored."""
+    X = rng.random((24, 30))
+    scale = np.array([1.25, 0.8])
+    off = np.array([2.0, -1.5])
+    a = np.asarray(ed.affine_transform(X, scale, off, order=3,
+                                       mode='mirror',
+                                       output_shape=(16, 18)))
+    assert a.shape == (16, 18)
+    b = np.asarray(ed.affine_transform(X, np.diag(scale), off, order=3,
+                                       mode='mirror',
+                                       output_shape=(16, 18)))
+    np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+    H = np.eye(3)
+    H[:2, :2] = np.diag(scale)
+    H[:2, 2] = off
+    c = np.asarray(ed.affine_transform(X, H, order=3, mode='mirror',
+                                       output_shape=(16, 18)))
+    np.testing.assert_allclose(a, c, rtol=1e-12, atol=1e-12)
+    want = scipy.ndimage.affine_transform(X, scale, off, order=3,
+                                          mode='mirror',
+                                          output_shape=(16, 18))
+    np.testing.assert_allclose(a, want, rtol=1e-5, atol=1e-8)
+
+
+def test_affine_transform_grad(rng):
+    """Differentiable w.r.t. matrix and offset (rigid-alignment use)."""
+    X = jnp.asarray(rng.random((20, 22)), jnp.float32)
+
+    def loss(m, off):
+        y = ed.affine_transform(X, m, off, order=3, mode='mirror')
+        return jnp.mean(y ** 2)
+
+    gm, go = jax.grad(loss, argnums=(0, 1))(
+        jnp.eye(2, dtype=jnp.float32) * 1.1,
+        jnp.asarray([1.0, -2.0], jnp.float32))
+    assert bool(jnp.isfinite(gm).all()) and bool(jnp.isfinite(go).all())
+    assert float(jnp.abs(gm).max()) > 0
+
+
+def test_affine_transform_shape_checks(rng):
+    X = rng.random((20, 22))
+    with pytest.raises(ValueError, match="matrix"):
+        ed.affine_transform(X, np.eye(3)[:2])
+    with pytest.raises(ValueError, match="output_shape"):
+        ed.affine_transform(X, np.eye(2), output_shape=(5,))
