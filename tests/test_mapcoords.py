@@ -385,3 +385,59 @@ def test_affine_transform_shape_checks(rng):
         ed.affine_transform(X, np.eye(3)[:2])
     with pytest.raises(ValueError, match="output_shape"):
         ed.affine_transform(X, np.eye(2), output_shape=(5,))
+
+
+def test_randomized_scipy_differential():
+    """Seeded randomized sweep of the resampler family vs scipy: random
+    (rank, out-rank, order, mode, prefilter, channel) configurations for
+    map_coordinates, plus random affine forms — the fuzz-style safety net
+    the deform API has via tools/tpu_parity.py --fuzz."""
+    rng = np.random.default_rng(2024)
+    for i in range(24):
+        ndim = int(rng.integers(1, 4))
+        shape = tuple(int(rng.integers(12, 40)) for _ in range(ndim))
+        order = int(rng.integers(0, 6))
+        mode = ALL_MODES[int(rng.integers(5))]
+        prefilter = bool(rng.integers(2))
+        out_rank = int(rng.integers(1, ndim + 2))
+        out_shape = tuple(int(rng.integers(4, 20)) for _ in range(out_rank))
+        chan = ndim >= 2 and out_rank == ndim and rng.random() < 0.3
+        X = rng.random(((2, *shape) if chan else shape))
+        kw = dict(order=order, mode=mode, cval=float(rng.uniform(-1, 1)),
+                  prefilter=prefilter)
+        if chan:
+            kw["axis"] = tuple(range(1, ndim + 1))
+        coords = _coords(rng, shape, out_shape, margin=4.0)
+        got = np.asarray(ed.map_coordinates(X, coords, **kw))
+        if chan:
+            want = np.stack([map_coordinates_oracle(X[c], coords, **{
+                k: v for k, v in kw.items() if k != "axis"})
+                for c in range(2)])
+        else:
+            want = map_coordinates_oracle(X, coords, **kw)
+        label = f"cfg{i}: {shape}->{out_shape} o{order} {mode} " \
+                f"pf{int(prefilter)}{' ch' if chan else ''}"
+        if order == 0:
+            assert (np.abs(got - want) > 1e-6).mean() < 0.01, label
+        else:
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8,
+                                       err_msg=label)
+
+
+def test_randomized_affine_vs_scipy():
+    rng = np.random.default_rng(4096)
+    for i in range(10):
+        ndim = int(rng.integers(1, 4))
+        shape = tuple(int(rng.integers(12, 36)) for _ in range(ndim))
+        order = int(rng.integers(1, 6))
+        mode = MODERN_MODES[int(rng.integers(3))]
+        X = rng.random(shape)
+        M = np.eye(ndim) + rng.standard_normal((ndim, ndim)) * 0.15
+        off = rng.standard_normal(ndim) * 2
+        out = tuple(int(rng.integers(8, 24)) for _ in range(ndim))
+        got = np.asarray(ed.affine_transform(X, M, off, order=order,
+                                             mode=mode, output_shape=out))
+        want = scipy.ndimage.affine_transform(X, M, off, order=order,
+                                              mode=mode, output_shape=out)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8,
+                                   err_msg=f"affine cfg{i}")
