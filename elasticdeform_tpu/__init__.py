@@ -46,10 +46,13 @@ from elasticdeform_tpu.core import (
     map_coordinates,
     map_coordinates_batch,
     map_coordinates_gradient,
+    rotate,
+    shift,
     spline_filter,
     spline_filter1d,
     random_displacement,
     deform_random,
+    zoom,
 )
 
 __version__ = "0.1.0"
@@ -69,9 +72,12 @@ __all__ = [
     "map_coordinates",
     "map_coordinates_batch",
     "map_coordinates_gradient",
+    "rotate",
+    "shift",
     "spline_filter",
     "spline_filter1d",
     "random_displacement",
     "deform_random",
+    "zoom",
     "__version__",
 ]

@@ -542,6 +542,84 @@ def affine_transform(X, matrix, offset=0.0, *, output_shape=None, order=3,
                            strategy=strategy, table_dtype=table_dtype)
 
 
+def shift(X, shift, *, order=3, mode='constant', cval=0.0, prefilter=True,
+          axis=None, strategy="auto"):
+    """Translate an image (``scipy.ndimage.shift`` equivalent):
+    ``output[o] = input[o - shift]``. ``shift`` is a scalar or a
+    per-deformed-axis vector (may be fractional and traced —
+    differentiable, for sub-voxel alignment losses). Thin wrapper over
+    :func:`affine_transform`.
+    """
+    X = jnp.asarray(X)
+    axis_n, _ = _n.normalize_axis_list(axis, [X])
+    naxis = len(axis_n[0])
+    sh = jnp.broadcast_to(jnp.asarray(shift), (naxis,))
+    return affine_transform(X, jnp.ones(naxis, sh.dtype), offset=-sh,
+                            order=order, mode=mode, cval=cval,
+                            prefilter=prefilter, axis=axis,
+                            strategy=strategy)
+
+
+def zoom(X, zoom, *, order=3, mode='constant', cval=0.0, prefilter=True,
+         axis=None, strategy="auto"):
+    """Rescale an image (``scipy.ndimage.zoom`` equivalent,
+    ``grid_mode=False`` semantics): the output shape is
+    ``round(in_size * zoom)`` per deformed axis and output voxel ``o``
+    samples the input at ``o * (in_size - 1) / (out_size - 1)``. This is
+    the standalone resampling zoom; :func:`deform`'s ``zoom=`` parameter
+    is the deformation-composed magnification of the reference API.
+    """
+    X = jnp.asarray(X)
+    axis_n, deform_shape = _n.normalize_axis_list(axis, [X])
+    naxis = len(axis_n[0])
+    if not isinstance(zoom, (list, tuple, np.ndarray)):
+        zoom = [zoom] * naxis
+    if len(zoom) != naxis:
+        raise ValueError(f"zoom must be a scalar or give one factor per "
+                         f"deformed axis ({naxis}); got {len(zoom)}.")
+    out_shape = tuple(int(round(i * float(z)))
+                      for i, z in zip(deform_shape, zoom))
+    factors = np.array([(i - 1) / (o - 1) if o > 1 else 1.0
+                        for i, o in zip(deform_shape, out_shape)])
+    return affine_transform(X, factors, 0.0, output_shape=out_shape,
+                            order=order, mode=mode, cval=cval,
+                            prefilter=prefilter, axis=axis,
+                            strategy=strategy)
+
+
+def rotate(X, angle, axes=(1, 0), *, reshape=True, order=3,
+           mode='constant', cval=0.0, prefilter=True, strategy="auto"):
+    """Rotate an image in the plane of two axes (``scipy.ndimage.rotate``
+    equivalent): ``angle`` in degrees, ``axes`` the rotation plane,
+    ``reshape=True`` enlarges the output to contain the whole rotated
+    input (scipy's bounds formula). Remaining axes are carried along as
+    channels. This is the standalone resampling rotation;
+    :func:`deform`'s ``rotate=`` parameter is the deformation-composed
+    rotation of the reference API.
+    """
+    X = jnp.asarray(X)
+    axes = sorted(a % X.ndim for a in axes)
+    if len(set(axes)) != 2:
+        raise ValueError("axes should be two distinct axes")
+    rad = np.deg2rad(float(angle))
+    c, s = np.cos(rad), np.sin(rad)
+    rot = np.array([[c, s], [-s, c]])
+    in_plane = np.array([X.shape[axes[0]], X.shape[axes[1]]])
+    if reshape:
+        iy, ix = in_plane
+        out_bounds = rot @ np.array([[0, 0, iy, iy], [0, ix, 0, ix]],
+                                    dtype=float)
+        out_plane = (np.ptp(out_bounds, axis=1) + 0.5).astype(int)
+    else:
+        out_plane = in_plane
+    offset = (in_plane - 1) / 2 - rot @ ((out_plane - 1) / 2)
+    return affine_transform(X, rot, offset,
+                            output_shape=tuple(int(n) for n in out_plane),
+                            order=order, mode=mode, cval=cval,
+                            prefilter=prefilter, axis=tuple(axes),
+                            strategy=strategy)
+
+
 def spline_filter1d(X, *, order=3, axis=0):
     """B-spline prefilter along one axis (``scipy.ndimage.spline_filter1d``
     with mirror boundaries — the filter :func:`deform` and

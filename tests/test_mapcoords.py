@@ -441,3 +441,57 @@ def test_randomized_affine_vs_scipy():
                                               mode=mode, output_shape=out)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8,
                                    err_msg=f"affine cfg{i}")
+
+
+@pytest.mark.parametrize("mode", MODERN_MODES)
+def test_shift_matches_scipy(rng, mode):
+    X = rng.random((26, 31))
+    sh = rng.standard_normal(2) * 4
+    got = np.asarray(ed.shift(X, sh, order=3, mode=mode, cval=0.25))
+    want = scipy.ndimage.shift(X, sh, order=3, mode=mode, cval=0.25)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)
+
+
+@pytest.mark.parametrize("factors", [2.0, 0.55, (1.4, 0.7)])
+def test_zoom_matches_scipy(rng, factors):
+    X = rng.random((23, 30))
+    got = np.asarray(ed.zoom(X, factors, order=3, mode='mirror'))
+    want = scipy.ndimage.zoom(X, factors, order=3, mode='mirror',
+                              grid_mode=False)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)
+
+
+@pytest.mark.parametrize("angle", [30.0, -118.0, 90.0])
+@pytest.mark.parametrize("reshape", [True, False])
+def test_rotate_matches_scipy(rng, angle, reshape):
+    X = rng.random((25, 33))
+    got = np.asarray(ed.rotate(X, angle, reshape=reshape, order=3,
+                               mode='mirror'))
+    want = scipy.ndimage.rotate(X, angle, reshape=reshape, order=3,
+                                mode='mirror')
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_rotate_plane_of_3d(rng):
+    """Rotation plane inside a 3-D volume; remaining axis carried along."""
+    X = rng.random((4, 20, 24))
+    got = np.asarray(ed.rotate(X, 40.0, axes=(1, 2), order=3,
+                               mode='mirror'))
+    want = scipy.ndimage.rotate(X, 40.0, axes=(1, 2), order=3,
+                                mode='mirror')
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_shift_differentiable(rng):
+    """Sub-voxel alignment: gradient w.r.t. the shift vector."""
+    X = jnp.asarray(rng.random((18, 20)), jnp.float32)
+    tgt = jnp.asarray(ed.shift(X, (1.25, -0.75), order=3, mode='mirror'))
+
+    def loss(sh):
+        return jnp.mean((ed.shift(X, sh, order=3, mode='mirror') - tgt)**2)
+
+    g = jax.grad(loss)(jnp.zeros(2, jnp.float32))
+    assert bool(jnp.isfinite(g).all()) and float(jnp.abs(g).max()) > 0
