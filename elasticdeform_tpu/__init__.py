@@ -21,12 +21,24 @@ A ground-up re-design of the capabilities of ``gvtulder/elasticdeform``
 
 Public API (numpy-compatible, mirrors reference elasticdeform/__init__.py):
     deform_grid, deform_random_grid, deform_grid_gradient
+    (+ batched: api.deform_batch, api.deform_batch_gradient;
+    general resampler: api.map_coordinates, api.map_coordinates_gradient)
 
 JAX-native functional API (traceable, differentiable):
-    deform, deform_gradient, random_displacement, deform_random
+    deform, deform_gradient, deform_batch, deform_batch_gradient,
+    random_displacement, deform_random, displacement_field
+
+General resampler family (beyond the reference — scipy.ndimage parity):
+    map_coordinates (+ _batch, _gradient), deform_field (+ _batch),
+    affine_transform, shift, zoom, rotate, spline_filter, spline_filter1d
+
+Multi-chip scale-out (elasticdeform_tpu.parallel):
+    batched/sharded deformation, spatially-sharded volumes with halo
+    exchange, sharded dense-field warps, streaming pipeline
 
 Framework shims (mirror reference tf.py / torch.py):
-    elasticdeform_tpu.tf, elasticdeform_tpu.torch
+    elasticdeform_tpu.tf, elasticdeform_tpu.torch (deform_grid,
+    deform_batch, map_coordinates)
 """
 
 from elasticdeform_tpu.api import (
