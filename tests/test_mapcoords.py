@@ -495,3 +495,13 @@ def test_shift_differentiable(rng):
 
     g = jax.grad(loss)(jnp.zeros(2, jnp.float32))
     assert bool(jnp.isfinite(g).all()) and float(jnp.abs(g).max()) > 0
+
+
+def test_4d_rank(rng):
+    """Rank-4 volumes route through whichever kernel the plan table
+    offers (gather fallback where no window plan exists)."""
+    X = rng.random((9, 10, 8, 11))
+    coords = _coords(rng, X.shape, (5, 6, 4, 7), margin=2.0)
+    got = np.asarray(ed.map_coordinates(X, coords, order=3, mode='mirror'))
+    want = map_coordinates_oracle(X, coords, order=3, mode='mirror')
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)

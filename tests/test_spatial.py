@@ -462,3 +462,20 @@ def test_sharded_field_validate_raises(rng):
                                      jnp.asarray(field),
                                      max_displacement=3, prefilter=False,
                                      validate=True)
+
+
+def test_sharded_field_wrap_with_prefilter(rng):
+    """wrap seams + per-order prefilter halo together on the field path
+    (the all-modes test runs prefilter=False; this pins the combination)."""
+    mesh = _mesh(4)
+    S = (112, 12)
+    x = rng.random(S).astype(np.float32)
+    field = np.clip(rng.standard_normal((2, *S)) * 2.5,
+                    -2.9, 2.9).astype(np.float32)
+    got = np.asarray(sharded_deform_field_spatial(
+        mesh, jnp.asarray(x), jnp.asarray(field), max_displacement=3,
+        order=3, mode='wrap', prefilter=True))
+    want = np.asarray(ed.deform_field(jnp.asarray(x), jnp.asarray(field),
+                                      order=3, mode='wrap',
+                                      prefilter=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
