@@ -483,7 +483,11 @@ def map_coordinates_apply(x, coordinates, spec: DeformSpec):
     coords = jnp.asarray(coordinates).astype(cdt)
     cc = [coords[h] for h in range(len(ispec.axis))]
     xt = _to_spatial_channels(jnp.asarray(x), ispec)
-    y, inside = _deform_one_linear(xt, cc, ispec, spec, cdt, exact_int=True)
+    # exact_int=False: scipy's map_coordinates prefilters integer inputs
+    # in float (verified vs scipy 1.17) — the per-axis integer writeback
+    # is a deform_grid-only reference quirk (deform_grid.py:154-164)
+    y, inside = _deform_one_linear(xt, cc, ispec, spec, cdt,
+                                   exact_int=False)
     if inside is not None:
         mask = inside[..., None]
         y = y + jnp.where(mask, jnp.zeros((), cdt),
@@ -512,8 +516,9 @@ def map_coordinates_apply_batched(x, coordinates, spec: DeformSpec):
     cc = [coords[:, h] for h in range(len(ispec.axis))]
     x = jnp.asarray(x)
     xt = jax.vmap(lambda a: _to_spatial_channels(a, ispec))(x)
+    # exact_int=False: scipy prefilter semantics, cf. map_coordinates_apply
     y, inside = _deform_one_linear_batched(xt, cc, ispec, spec, cdt,
-                                           exact_int=True)
+                                           exact_int=False)
     if inside is not None:
         mask = inside[..., None]
         y = y + jnp.where(mask, jnp.zeros((), cdt),

@@ -505,3 +505,22 @@ def test_4d_rank(rng):
     got = np.asarray(ed.map_coordinates(X, coords, order=3, mode='mirror'))
     want = map_coordinates_oracle(X, coords, order=3, mode='mirror')
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.int16])
+def test_integer_prefilter_matches_scipy(rng, dtype):
+    """Integer inputs with prefilter follow SCIPY semantics here (filter
+    in float, round+clamp at the end) — the per-axis integer writeback is
+    a deform_grid-only reference quirk."""
+    info = np.iinfo(dtype)
+    X = (rng.random((22, 26)) * min(info.max, 255)).astype(dtype)
+    coords = _coords(rng, X.shape, (14, 15), margin=0.0)
+    got = np.asarray(ed.map_coordinates(X, coords, order=3, mode='mirror',
+                                        prefilter=True))
+    assert got.dtype == dtype
+    want = scipy.ndimage.map_coordinates(X, coords, order=3, mode='mirror',
+                                         prefilter=True)
+    # f32 device path vs f64 scipy: allow off-by-one at rounding boundaries
+    assert (np.abs(got.astype(np.int64)
+                   - want.astype(np.int64)) > 1).mean() == 0
+    assert (got != want).mean() < 0.02
