@@ -241,8 +241,11 @@ def _deform_one_linear(xt, cc, ispec: InputSpec, spec: DeformSpec, cdt,
                             spec.out_spatial, cdt)
     else:
         pad = pad_amount(ispec.order)
+        # the fused build is illegal only under the reference's per-axis
+        # integer writeback (nonlinear); scipy-semantics int callers
+        # (exact_int=False, map_coordinates) filter in float and may fuse
         int_cast = (np.dtype(ispec.dtype).kind in "bui" and spec.prefilter
-                    and ispec.order > 1)
+                    and ispec.order > 1 and exact_int)
         if not int_cast and can_fuse_filter_build(
                 spec.deform_shape, xt.shape[-1], plan, pad, ispec.order,
                 cdt, spec.prefilter):
@@ -277,7 +280,7 @@ def _deform_one_linear_batched(xt, cc, ispec: InputSpec, spec: DeformSpec,
     plan = window_plan(naxis, ispec.order, spec.deform_shape)
     pad = pad_amount(ispec.order)
     int_cast = (np.dtype(ispec.dtype).kind in "bui" and spec.prefilter
-                and ispec.order > 1)
+                and ispec.order > 1 and exact_int)
     if not int_cast and can_fuse_filter_build(
             spec.deform_shape, xt.shape[-1], plan, pad, ispec.order,
             cdt, spec.prefilter, nbatch=xt.shape[0]):
