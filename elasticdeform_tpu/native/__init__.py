@@ -97,6 +97,20 @@ def _lib():
         lib.ed_spline_filter1d.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int]
+        lib.ed_map_coordinates.restype = ctypes.c_int
+        lib.ed_map_coordinates.argtypes = [
+            ctypes.c_int,                      # gradient
+            ctypes.POINTER(ctypes.c_double),   # x
+            ctypes.POINTER(ctypes.c_int64),    # S
+            ctypes.c_int,                      # nd
+            ctypes.c_int64,                    # C
+            ctypes.POINTER(ctypes.c_double),   # coords (nd, P)
+            ctypes.c_int64,                    # P
+            ctypes.POINTER(ctypes.c_double),   # y (P, C)
+            ctypes.c_int,                      # order
+            ctypes.c_int,                      # mode
+            ctypes.c_double,                   # cval
+        ]
         _LIB = lib
         return _LIB
 
@@ -355,3 +369,118 @@ def deform_batch_gradient(dY, displacement, **kwargs):
             acc.append(dx)
     outs = [np.stack(acc) for acc in per_input]
     return outs if is_list else outs[0]
+
+
+def map_coordinates(X, coordinates, order=3, mode='constant', cval=0.0,
+                    prefilter=True, axis=None):
+    """General resampler on the native host kernel (float64, no JAX).
+
+    Host twin of :func:`elasticdeform_tpu.map_coordinates` with the same
+    scipy semantics (integer inputs prefilter in float); ``coordinates``
+    has shape ``(naxis, *out_shape)``, any output rank when no channel
+    axes are carried.
+    """
+    lib = _lib()
+    X = np.asarray(X)
+    axis_n, _ = _n.normalize_axis_list(axis, [X])
+    ax = axis_n[0]
+    naxis = len(ax)
+    coords = np.asarray(coordinates, dtype=np.float64)
+    if coords.ndim < 1 or coords.shape[0] != naxis:
+        raise ValueError(
+            "coordinates should have shape (naxis, *out_shape) with one "
+            f"row per deformed axis; got {tuple(coords.shape)} for "
+            f"{naxis} deformed axes.")
+    out_spatial = tuple(coords.shape[1:])
+    channels = tuple(d for d in range(X.ndim) if d not in ax)
+    if channels and len(out_spatial) != naxis:
+        raise ValueError(
+            "with non-deformed (channel) axes, the output rank must equal "
+            f"the number of deformed axes ({naxis}); got "
+            f"{len(out_spatial)}.")
+    (o,) = _n.normalize_order(order, [X])
+    m = _n.normalize_mode(mode, [X])[0]
+    xt, perm, chan_shape = _prep_spatial(X, ax)
+    if prefilter and o > 1:
+        for d in range(naxis):
+            xt = spline_filter1d(xt, o, d)
+    xt = np.ascontiguousarray(xt)
+    S = np.asarray(xt.shape[:naxis], dtype=np.int64)
+    P = int(np.prod(out_spatial)) if out_spatial else 1
+    cflat = np.ascontiguousarray(coords.reshape(naxis, P))
+    y = np.zeros((P, xt.shape[-1]), dtype=np.float64)
+    rc = lib.ed_map_coordinates(
+        0, _dptr(xt), _iptr(S), naxis, xt.shape[-1],
+        _dptr(cflat), P, _dptr(y), int(o), int(m), float(cval))
+    if rc != 0:
+        raise RuntimeError("native map_coordinates kernel failed")
+    if chan_shape:
+        out = _unprep(y, perm, chan_shape, out_spatial)
+    else:
+        out = y.reshape(out_spatial)
+    return _cast_output_np(out, X.dtype)
+
+
+def map_coordinates_gradient(dY, coordinates, order=3, mode='constant',
+                             cval=0.0, prefilter=True, axis=None,
+                             X_shape=None):
+    """Backward-only adjoint of :func:`map_coordinates` on the host
+    kernel: scatter-add of the interpolation stencils followed by the
+    transpose prefilter. ``X_shape`` is required."""
+    lib = _lib()
+    if X_shape is None:
+        raise ValueError("X_shape is required (the input shape cannot be "
+                         "inferred from dY).")
+    dY = np.asarray(dY)
+
+    class _Shaped:
+        def __init__(self, shape, dtype):
+            self.shape = tuple(int(s) for s in shape)
+            self.ndim = len(self.shape)
+            self.dtype = dtype
+    shaped = _Shaped(X_shape, dY.dtype)
+    axis_n, _ = _n.normalize_axis_list(axis, [shaped])
+    ax = axis_n[0]
+    naxis = len(ax)
+    coords = np.asarray(coordinates, dtype=np.float64)
+    if coords.ndim < 1 or coords.shape[0] != naxis:
+        raise ValueError(
+            "coordinates should have shape (naxis, *out_shape) with one "
+            f"row per deformed axis; got {tuple(coords.shape)} for "
+            f"{naxis} deformed axes.")
+    out_spatial = tuple(coords.shape[1:])
+    (o,) = _n.normalize_order(order, [shaped])
+    m = _n.normalize_mode(mode, [shaped])[0]
+    channels = tuple(d for d in range(shaped.ndim) if d not in ax)
+    if channels:
+        # bring dY into (out_spatial..., channels...) layout matching the
+        # forward's output axes
+        dyt, perm, chan_shape = _prep_spatial(
+            np.asarray(dY, dtype=np.float64), ax)
+    else:
+        dyt = np.asarray(dY, dtype=np.float64).reshape(*out_spatial, 1)
+        perm, chan_shape = tuple(range(len(out_spatial))), ()
+    C = dyt.shape[-1]
+    spatial = tuple(shaped.shape[d] for d in ax)
+    P = int(np.prod(out_spatial)) if out_spatial else 1
+    cflat = np.ascontiguousarray(coords.reshape(naxis, P))
+    dyt = np.ascontiguousarray(dyt.reshape(P, C))
+    dx = np.zeros((*spatial, C), dtype=np.float64)
+    S = np.asarray(spatial, dtype=np.int64)
+    rc = lib.ed_map_coordinates(
+        1, _dptr(dx), _iptr(S), naxis, C,
+        _dptr(cflat), P, _dptr(dyt), int(o), int(m), float(cval))
+    if rc != 0:
+        raise RuntimeError("native map_coordinates kernel failed")
+    # transpose prefilter (adjoint of the forward per-axis filters):
+    # multiplication by the transposed filter matrices
+    if prefilter and o > 1:
+        for d in range(naxis):
+            F = filter_matrix(dx.shape[d], o).T
+            dx = np.moveaxis(
+                np.tensordot(F, dx, axes=[[1], [d]]), 0, d)
+    if chan_shape:
+        out = _unprep(dx, perm, chan_shape, spatial)
+    else:
+        out = dx.reshape(spatial)
+    return _cast_output_np(out, dY.dtype)

@@ -423,4 +423,76 @@ int ed_deform_grid(int gradient,
   return 0;
 }
 
+// General resampler: sample x at caller-supplied coordinates (the scipy
+// map_coordinates analogue; host twin of elasticdeform_tpu.map_coordinates).
+//   gradient = 0: y[p] = interp(x at coords[:, p])          (gather)
+//   gradient = 1: x += scatter of y[p] * weights            (adjoint)
+// coords: (nd, P) C-contiguous, in voxel units of the deformed axes;
+// x: (S[0..nd-1], C); y: (P, C). Same tap/boundary math as ed_deform_grid
+// (reference deform.c:781-901 semantics), minus the displacement-grid
+// interpolation — the coordinates come from the caller.
+int ed_map_coordinates(int gradient,
+                       double* x, const int64_t* S, int nd, int64_t C,
+                       const double* coords, int64_t P,
+                       double* y,
+                       int order, int mode, double cval) {
+  if (nd < 1 || nd > kMaxDim || order < 0 || order > 5) return 1;
+  int64_t xs[kMaxDim];
+  {
+    int64_t s = 1;
+    for (int h = nd - 1; h >= 0; --h) { xs[h] = s; s *= S[h]; }
+  }
+  const int taps = order + 1;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (!gradient)
+#endif
+  for (int64_t v = 0; v < P; ++v) {
+    bool inside = true;
+    int64_t tap_idx[kMaxDim][6];
+    double tap_w[kMaxDim][6];
+    for (int h = 0; h < nd && inside; ++h) {
+      double c = coords[h * P + v];
+      if (!map_coordinate(c, S[h], mode)) { inside = false; break; }
+      const int64_t start =
+          int64_t(std::floor(order & 1 ? c : c + 0.5)) - order / 2;
+      double w6[6];
+      spline_weights(c, order, w6);
+      for (int l = 0; l < taps; ++l) {
+        tap_idx[h][l] = mirror_fold(start + l, S[h]) * xs[h];
+        tap_w[h][l] = w6[l];
+      }
+    }
+    double* yrow = y + v * C;
+    if (!inside) {
+      if (!gradient)
+        for (int64_t c = 0; c < C; ++c) yrow[c] = cval;
+    } else {
+      if (!gradient)
+        for (int64_t c = 0; c < C; ++c) yrow[c] = 0.0;
+      int tc[kMaxDim] = {0};
+      int64_t tap_total = 1;
+      for (int h = 0; h < nd; ++h) tap_total *= taps;
+      for (int64_t u = 0; u < tap_total; ++u) {
+        double wprod = 1.0;
+        int64_t off = 0;
+        for (int h = 0; h < nd; ++h) {
+          wprod *= tap_w[h][tc[h]];
+          off += tap_idx[h][tc[h]];
+        }
+        double* xrow = x + off * C;
+        if (!gradient) {
+          for (int64_t c = 0; c < C; ++c) yrow[c] += wprod * xrow[c];
+        } else {
+          for (int64_t c = 0; c < C; ++c) xrow[c] += wprod * yrow[c];
+        }
+        for (int h = nd - 1; h >= 0; --h) {
+          if (++tc[h] < taps) break;
+          tc[h] = 0;
+        }
+      }
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

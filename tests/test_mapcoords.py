@@ -524,3 +524,50 @@ def test_integer_prefilter_matches_scipy(rng, dtype):
     assert (np.abs(got.astype(np.int64)
                    - want.astype(np.int64)) > 1).mean() == 0
     assert (got != want).mean() < 0.02
+
+
+def test_native_host_map_coordinates(rng):
+    """Three-way agreement on the general resampler: C++ host kernel vs
+    the JAX path vs scipy (the native tier's oracle role)."""
+    from elasticdeform_tpu import native
+    if not native.available():
+        pytest.skip("native host kernel unavailable")
+    X = rng.random((24, 29, 14))
+    coords = _coords(rng, X.shape, (12, 13, 8))
+    for mode in ("mirror", "wrap", "constant"):
+        a = native.map_coordinates(X, coords, order=3, mode=mode, cval=0.3)
+        b = np.asarray(ed.map_coordinates(X, coords, order=3, mode=mode,
+                                          cval=0.3))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8)
+    want = scipy.ndimage.map_coordinates(X, coords, order=3, mode='mirror')
+    got = native.map_coordinates(X, coords, order=3, mode='mirror')
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+    # channel axes
+    Xc = rng.random((2, 20, 22))
+    cc2 = _coords(rng, (20, 22), (11, 12))
+    a = native.map_coordinates(Xc, cc2, order=3, mode='nearest',
+                               axis=(1, 2))
+    b = np.asarray(ed.map_coordinates(Xc, cc2, order=3, mode='nearest',
+                                      axis=(1, 2)))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8)
+
+
+def test_native_host_map_coordinates_gradient(rng):
+    """Host adjoint satisfies the dot-product identity against the host
+    forward, and matches the JAX backward-only adjoint."""
+    from elasticdeform_tpu import native
+    if not native.available():
+        pytest.skip("native host kernel unavailable")
+    X = rng.random((18, 21))
+    coords = _coords(rng, X.shape, (12, 10))
+    dy = rng.random((12, 10))
+    y = native.map_coordinates(X, coords, order=3, mode='mirror')
+    dx = native.map_coordinates_gradient(dy, coords, order=3,
+                                         mode='mirror', X_shape=X.shape)
+    lhs = float(np.vdot(dy, y))
+    rhs = float(np.vdot(dx, X))
+    assert abs(lhs - rhs) <= 1e-10 * max(1.0, abs(lhs))
+    jx = np.asarray(ed.map_coordinates_gradient(dy, coords, order=3,
+                                                mode='mirror',
+                                                X_shape=X.shape))
+    np.testing.assert_allclose(dx, jx, rtol=1e-5, atol=1e-8)
