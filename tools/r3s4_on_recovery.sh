@@ -26,6 +26,10 @@ timeout 1200 python tools/probe_prefilter_scan.py || true
 timeout 2400 python bench.py --all
 timeout 900 python tools/profile_stages.py > bench_artifacts/stages_r3s4.json 2>&1 || true
 
+# 5b. supplementary resampler-surface benchmark (map_coordinates /
+#     deform_field_batch — the session's new public surface)
+timeout 1200 python tools/bench_mapcoords.py || true
+
 # 6. Pallas toolchain re-probe (dynstore/dyngather status changes by
 #    session; record the current answer)
 timeout 900 python tools/probe_pallas.py || true
