@@ -66,11 +66,30 @@ def _jitted_map_gradient(spec):
 
 
 @functools.lru_cache(maxsize=512)
-def _jitted_batch_gradient(spec):
-    def fn(dys, displacement, affine):
-        per = lambda dys_s, d, a: deform_gradient_apply(
-            list(dys_s), d, a, spec)
-        return jax.vmap(per, in_axes=(0, 0, None))(dys, displacement, affine)
+def _jitted_batch_gradient(spec, use_native=True):
+    # native: batch-folded custom-vjp backward via jax.vjp of the batched
+    # forward at a zero primal — exact (the pipeline is affine in X, so the
+    # linearization is primal-independent) and measured 1.42x the vmapped
+    # per-sample adjoint on 64x 64^3 (277 vs 393 ms, 1x v5e); the unused
+    # forward gather is dead-code-eliminated (tests/test_dce.py).
+    if use_native:
+        from elasticdeform_tpu.ops.deform import deform_apply_batched
+
+        def fn(dys, displacement, affine):
+            B = dys[0].shape[0]
+            xs0 = tuple(jnp.zeros((B, *i.shape), i.dtype)
+                        for i in spec.inputs)
+            _, vjp_fn = jax.vjp(
+                lambda xs: tuple(deform_apply_batched(
+                    list(xs), displacement, affine, spec)), xs0)
+            (dxs,) = vjp_fn(tuple(dys))
+            return list(dxs)
+    else:
+        def fn(dys, displacement, affine):
+            per = lambda dys_s, d, a: deform_gradient_apply(
+                list(dys_s), d, a, spec)
+            return jax.vmap(per, in_axes=(0, 0, None))(dys, displacement,
+                                                       affine)
     return jax.jit(fn)
 
 
@@ -406,7 +425,7 @@ def deform_batch(X, displacement, order=3, mode='constant', cval=0.0,
 def deform_batch_gradient(dY, displacement, order=3, mode='constant',
                           cval=0.0, crop=None, prefilter=True, axis=None,
                           X_shape=None, affine=None, rotate=None, zoom=None,
-                          *, strategy="auto"):
+                          *, strategy="auto", batch_impl="auto"):
     """Batched :func:`deform_grid_gradient`: numpy in, numpy out.
 
     Backward-only exact adjoint of :func:`deform_batch` w.r.t. the
@@ -417,12 +436,13 @@ def deform_batch_gradient(dY, displacement, order=3, mode='constant',
     used; all other parameters must match the forward call (see
     :func:`deform_grid_gradient` for their semantics).
     """
-    from elasticdeform_tpu.core import _prepare_batch_gradient
+    from elasticdeform_tpu.core import _native_grad_ok, \
+        _prepare_batch_gradient
 
-    dYs, inv_affine, spec = _prepare_batch_gradient(
+    dYs, inv_affine, spec, _, use_native = _prepare_batch_gradient(
         dY, displacement, order, mode, cval, crop, prefilter, axis,
-        X_shape, affine, rotate, zoom, strategy)
-    fn = _jitted_batch_gradient(spec)
+        X_shape, affine, rotate, zoom, strategy, batch_impl)
+    fn = _jitted_batch_gradient(spec, use_native and _native_grad_ok(spec))
     dxs = fn(_to_device(dYs), jnp.asarray(displacement),
              None if inv_affine is None else jnp.asarray(inv_affine))
     outputs = _to_host(dxs, [np.dtype(dy.dtype) for dy in dYs])

@@ -223,7 +223,7 @@ def deform_batch(X, displacement, *, order=3, mode='constant', cval=0.0,
 def deform_batch_gradient(dY, displacement, *, order=3, mode='constant',
                           cval=0.0, crop=None, prefilter=True, axis=None,
                           X_shape=None, affine=None, rotate=None, zoom=None,
-                          strategy="auto"):
+                          strategy="auto", batch_impl="auto"):
     """Exact adjoint of :func:`deform_batch` w.r.t. the inputs.
 
     Backward-only (no forward pass is paid): maps batched output
@@ -240,22 +240,52 @@ def deform_batch_gradient(dY, displacement, *, order=3, mode='constant',
     Normally ``jax.grad`` through :func:`deform_batch` is what you want;
     this entry point serves callers that manage their own backward pass
     (e.g. the ``elasticdeform_tpu.torch`` / ``.tf`` batched shims).
+
+    ``batch_impl`` mirrors :func:`deform_batch`: ``'native'``/``'auto'``
+    run the batch-folded custom-vjp backward (the batch folds into the
+    window-table rows) via ``jax.vjp`` of the batched forward at a zero
+    primal — exact because the whole pipeline is affine in ``X``, so its
+    linearization is primal-independent, and XLA dead-code-eliminates the
+    unused forward gather (guarded by tests/test_dce.py). Measured on
+    64x 64^3 order-3 (1x v5e): 277 ms vs 393 ms for ``'vmap'`` (the
+    per-sample adjoint pipeline vmapped over the batch).
     """
-    dYs, inv_affine, spec = _prepare_batch_gradient(
+    from elasticdeform_tpu.ops.deform import deform_apply_batched
+
+    dYs, inv_affine, spec, fakes, use_native = _prepare_batch_gradient(
         dY, displacement, order, mode, cval, crop, prefilter, axis,
-        X_shape, affine, rotate, zoom, strategy)
-    fn = lambda dys, d: deform_gradient_apply(list(dys), d, inv_affine, spec)
-    dxs = jax.vmap(fn)(tuple(jnp.asarray(dy) for dy in dYs),
-                       jnp.asarray(displacement))
+        X_shape, affine, rotate, zoom, strategy, batch_impl)
+    if use_native and _native_grad_ok(spec):
+        d = jnp.asarray(displacement)
+        xs0 = tuple(jnp.zeros(f.shape, f.dtype) for f in fakes)
+        _, vjp_fn = jax.vjp(
+            lambda xs: tuple(deform_apply_batched(list(xs), d, inv_affine,
+                                                  spec)), xs0)
+        (dxs,) = vjp_fn(tuple(jnp.asarray(dy) for dy in dYs))
+        dxs = list(dxs)
+    else:
+        fn = lambda dys, dd: deform_gradient_apply(list(dys), dd, inv_affine,
+                                                   spec)
+        dxs = jax.vmap(fn)(tuple(jnp.asarray(dy) for dy in dYs),
+                           jnp.asarray(displacement))
     return dxs if isinstance(dY, list) else dxs[0]
+
+
+def _native_grad_ok(spec) -> bool:
+    """The vjp-at-zero-primal route differentiates w.r.t. the inputs, which
+    jax only allows for floating dtypes; the vmapped adjoint pipeline keeps
+    serving integer-declared inputs (their cotangents are float anyway)."""
+    return all(np.issubdtype(np.dtype(i.dtype), np.floating)
+               for i in spec.inputs)
 
 
 def _prepare_batch_gradient(dY, displacement, order, mode, cval, crop,
                             prefilter, axis, X_shape, affine, rotate, zoom,
-                            strategy):
+                            strategy, batch_impl="auto"):
     """Shared normalization for the batched gradient entry points:
     lifts :func:`deform_gradient`'s X_shape/crop semantics to per-sample
-    shapes and returns ``(dYs, inv_affine, spec)``."""
+    shapes and returns ``(dYs, inv_affine, spec, fakes, use_native)``
+    where ``fakes`` carry the batched uncropped input shapes/dtypes."""
     dYs = _n.normalize_inputs(dY)
     B = int(dYs[0].shape[0])
     if int(displacement.shape[0]) != B:
@@ -273,17 +303,17 @@ def _prepare_batch_gradient(dY, displacement, order, mode, cval, crop,
     # batched stand-ins with the (uncropped) per-sample shapes; reuse the
     # batch normalization so spec/validation match deform_batch exactly
     fakes = [_Shaped((B, *s), dy.dtype) for s, dy in zip(X_shape, dYs)]
-    _, inv_affine, spec, _, output_shapes = _prepare_batch(
+    _, inv_affine, spec, use_native, output_shapes = _prepare_batch(
         fakes, _Shaped((B, *displacement.shape[1:]), displacement.dtype),
         order, mode, cval, crop, prefilter, axis, affine, rotate, zoom,
-        strategy, None, "auto")
+        strategy, None, batch_impl)
     if [tuple(s) for s in output_shapes] != \
             [tuple(int(d) for d in dy.shape[1:]) for dy in dYs]:
         raise ValueError("X_shape does not match output shape and cropping. "
                          "Expected output shape is %s, but %s given."
                          % (str(output_shapes),
                             str([tuple(dy.shape[1:]) for dy in dYs])))
-    return dYs, inv_affine, spec
+    return dYs, inv_affine, spec, fakes, use_native
 
 
 def displacement_field(displacement, shape, *, crop=None):

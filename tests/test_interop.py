@@ -151,6 +151,31 @@ def test_batch_gradient_matches_vjp():
                                rtol=1e-11, atol=1e-11)
 
 
+def test_batch_gradient_impl_routes_agree():
+    """The two backward-only routes — ``batch_impl='native'`` (vjp of the
+    batched forward at a zero primal; the measured-faster default) and
+    ``batch_impl='vmap'`` (per-sample adjoint pipeline) — are the same
+    linear map, so they must agree to fp noise, including with crop,
+    multi-input, and an affine."""
+    rng = np.random.default_rng(24)
+    D = rng.standard_normal((3, 2, 3, 3)) * 3
+    gys = [rng.random((3, 6, 8)).astype(np.float32),
+           rng.random((3, 6, 8)).astype(np.float32)]
+    kw = dict(order=[3, 1], mode=['mirror', 'nearest'],
+              crop=[slice(2, 8), slice(1, 9)],
+              X_shape=[(12, 12), (12, 12)], rotate=20.0)
+    a = ed.deform_batch_gradient(gys, D, batch_impl='native', **kw)
+    b = ed.deform_batch_gradient(gys, D, batch_impl='vmap', **kw)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-6)
+    # integer-declared cotangents fall back to the vmap pipeline (jax.vjp
+    # cannot differentiate w.r.t. int inputs) and keep working
+    gyi = rng.integers(0, 255, (3, 10, 10)).astype(np.uint8)
+    out = ed.deform_batch_gradient(gyi, D, order=0, mode='nearest')
+    assert out.shape == (3, 10, 10)
+
+
 def test_batch_gradient_matches_per_sample_loop():
     rng = np.random.default_rng(22)
     D = rng.standard_normal((4, 2, 3, 3)) * 5

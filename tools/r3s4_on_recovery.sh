@@ -6,6 +6,10 @@
 set -x
 cd /root/repo
 
+# 0. the parity sweep and fuzz need the reference C extension (/tmp is
+#    wiped between sessions)
+bash tools/build_reference.sh
+
 # 1. full parity sweep, now incl. map_coordinates blocks (must print PASS)
 timeout 1800 python tools/tpu_parity.py
 echo "PARITY_EXIT=$?"
@@ -24,7 +28,7 @@ timeout 1200 python tools/probe_prefilter_scan.py || true
 
 # 5. bench refresh + persist stage breakdown
 timeout 2400 python bench.py --all
-timeout 900 python tools/profile_stages.py > bench_artifacts/stages_r3s4.json 2>&1 || true
+timeout 900 python tools/profile_stages.py --json bench_artifacts/stages_r3s4.json || true
 
 # 5b. supplementary resampler-surface benchmark (map_coordinates /
 #     deform_field_batch — the session's new public surface)
