@@ -82,6 +82,34 @@ def test_dcc_branch_is_dead_code_eliminated(monkeypatch):
         "the input-grad-only pair")
 
 
+def test_backward_only_vjp_drops_forward_gather():
+    """Pins the claim cited at api.py `_jitted_batch_gradient` / core.py
+    `deform_batch_gradient`: a backward-only program (``jax.vjp`` with the
+    primal output discarded — the zero-primal route those entry points
+    compile) must be strictly cheaper than the fwd+bwd pair, i.e. XLA
+    dead-code-eliminates the unused forward window gather."""
+    x, d, gy = _data(2)
+
+    def bwd_only(x, d, gy):
+        _, vjp = jax.vjp(
+            lambda x_: batched_deform(x_, d, order=3, mode='mirror'), x)
+        return vjp(gy)[0]
+
+    def pair(x, d, gy):
+        y, vjp = jax.vjp(
+            lambda x_: batched_deform(x_, d, order=3, mode='mirror'), x)
+        return y, vjp(gy)[0]
+
+    bwd_flops, bwd_bytes = _cost(bwd_only, x, d, gy)
+    pair_flops, pair_bytes = _cost(pair, x, d, gy)
+    assert bwd_flops < pair_flops, (
+        f"backward-only vjp compiles to {bwd_flops} flops but the fwd+bwd "
+        f"pair to {pair_flops} — the discarded forward gather is no longer "
+        "dead-code-eliminated")
+    if bwd_bytes is not None and pair_bytes is not None:
+        assert bwd_bytes < pair_bytes
+
+
 def test_skip_dcc_env_is_semantically_inert(monkeypatch):
     x, d, gy = _data(1)
 

@@ -5,8 +5,8 @@
 # wiped between sessions — run this first in any script that needs the
 # reference.  Never writes to /root/reference.
 set -e
-if python -c "import sys; sys.path.insert(0, '/tmp/refbuild'); import elasticdeform" 2>/dev/null; then
-    echo "refbuild: already importable"
+if python -c "import sys; sys.path.insert(0, '/tmp/refbuild'); import elasticdeform; assert elasticdeform.__file__.startswith('/tmp/refbuild'), elasticdeform.__file__" 2>/dev/null; then
+    echo "refbuild: already importable from /tmp/refbuild"
     exit 0
 fi
 rm -rf /tmp/refbuild
