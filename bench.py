@@ -45,6 +45,11 @@ BASELINES = {
     "c3": 0.8112,    # 3D 128^3 crop-64^3 order-3 forward, Mvox/s (output vox)
     "c4": 0.4913,    # 3D 64^3 order-3 fwd+grad train step, Mvox/s
     "c5": 0.4568,    # batched 64x 64^3 order-3 fwd+grad, Mvox/s
+    # supplementary high-order / high-rank configs (VERDICT r3 task 4;
+    # measured by tools/measure_reference_highorder.py)
+    "c6": 0.0951,    # 3D 64^3 order-4 mirror forward, Mvox/s
+    "c7": 0.137,     # 3D 64^3 order-5 mirror forward, Mvox/s
+    "c8": 0.0336,    # 4D 24^4 order-3 mirror forward (naxis=4), Mvox/s
 }
 
 RNG = np.random.default_rng(0)
@@ -75,6 +80,23 @@ def _timeit(step, sync, voxels_per_call=_MIN_TIMED_VOXELS):
 def _sync_scalars(out):
     for s in (out if isinstance(out, tuple) else (out,)):
         float(s)
+
+
+def _single_call_ms(step, sync):
+    """Per-call wall latency of ONE jitted call, synchronized per call —
+    the number an interactive (non-streaming) user experiences. Includes
+    this environment's remote-tunnel dispatch + scalar-fetch round-trip
+    (~1 ms floor), which the streamed throughput numbers amortize away;
+    README publishes both. Median over BENCH_LATENCY_CALLS calls."""
+    sync(step())  # compile + warm
+    reps = int(os.environ.get("BENCH_LATENCY_CALLS", "30"))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(step())
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2] * 1e3
 
 
 # Per-call dispatch through the remote TPU tunnel has a ~1 ms floor
@@ -113,9 +135,12 @@ def bench_c1():
     fK, args = _stream(one, (xs,), ds)
     dt = _timeit(lambda: fK(*args), _sync_scalars, xs.size) / K
     mvox = 200 * 300 / dt / 1e6
+    f1 = jax.jit(one)
+    ms = _single_call_ms(lambda: f1(xs[0], ds[0]), _sync_scalars)
     return {"metric": "2D 200x300 order-3 deform forward throughput",
             "value": round(mvox, 2), "unit": "Mvox/s/chip",
-            "vs_baseline": round(mvox / BASELINES["c1"], 2)}
+            "vs_baseline": round(mvox / BASELINES["c1"], 2),
+            "single_call_ms": round(ms, 2)}
 
 
 def bench_c2():
@@ -137,9 +162,12 @@ def bench_c2():
     vox_call = imgs[0].size + segs[0].size
     dt = _timeit(lambda: fK(*args), _sync_scalars, K * vox_call) / K
     mvox = vox_call / dt / 1e6
+    f1 = jax.jit(one)
+    ms = _single_call_ms(lambda: f1(imgs[0], segs[0], ds[0]), _sync_scalars)
     return {"metric": "multi-input mixed-order deform forward throughput",
             "value": round(mvox, 2), "unit": "Mvox/s/chip",
-            "vs_baseline": round(mvox / BASELINES["c2"], 2)}
+            "vs_baseline": round(mvox / BASELINES["c2"], 2),
+            "single_call_ms": round(ms, 2)}
 
 
 def bench_c3():
@@ -158,9 +186,12 @@ def bench_c3():
     fK, args = _stream(one, (xs,), ds)
     dt = _timeit(lambda: fK(*args), _sync_scalars, K * 64 ** 3) / K
     mvox = 64 ** 3 / dt / 1e6  # output voxels, like the CPU baseline
+    f1 = jax.jit(one)
+    ms = _single_call_ms(lambda: f1(xs[0], ds[0]), _sync_scalars)
     return {"metric": "3D 128^3 crop-64^3 order-3 deform forward throughput",
             "value": round(mvox, 2), "unit": "Mvox/s/chip",
-            "vs_baseline": round(mvox / BASELINES["c3"], 2)}
+            "vs_baseline": round(mvox / BASELINES["c3"], 2),
+            "single_call_ms": round(ms, 2)}
 
 
 def bench_c4():
@@ -187,9 +218,12 @@ def bench_c4():
     fK, args = _stream(one, (xs,), targets)
     dt = _timeit(lambda: fK(*args), _sync_scalars, xs.size) / K
     mvox = 64 ** 3 / dt / 1e6
+    f1 = jax.jit(one)
+    ms = _single_call_ms(lambda: f1(xs[0], targets[0]), _sync_scalars)
     return {"metric": "3D 64^3 order-3 deform fwd+grad train-step throughput",
             "value": round(mvox, 2), "unit": "Mvox/s/chip",
-            "vs_baseline": round(mvox / BASELINES["c4"], 2)}
+            "vs_baseline": round(mvox / BASELINES["c4"], 2),
+            "single_call_ms": round(ms, 2)}
 
 
 def bench_c5():
@@ -222,8 +256,64 @@ def bench_c5():
             "vs_baseline": round(mvox / BASELINES["c5"], 2)}
 
 
+def _bench_order_3d(order, key):
+    """3D 64^3 high-order forward — exercises the n_lead tap-loop plan
+    fallback (ops/windows.py) that order-3 plans never take."""
+    import elasticdeform_tpu as ed
+
+    K = 4
+    xs = jnp.asarray(RNG.random((K, 64, 64, 64), dtype=np.float32))
+    ds = jnp.asarray(
+        RNG.standard_normal((K, 3, 3, 3, 3)).astype(np.float32) * 15)
+
+    def one(x, d):
+        return jnp.sum(ed.deform(x, d, order=order, mode='mirror'))
+
+    fK, args = _stream(one, (xs,), ds)
+    dt = _timeit(lambda: fK(*args), _sync_scalars, xs.size) / K
+    mvox = 64 ** 3 / dt / 1e6
+    f1 = jax.jit(one)
+    ms = _single_call_ms(lambda: f1(xs[0], ds[0]), _sync_scalars)
+    return {"metric": f"3D 64^3 order-{order} deform forward throughput",
+            "value": round(mvox, 2), "unit": "Mvox/s/chip",
+            "vs_baseline": round(mvox / BASELINES[key], 2),
+            "single_call_ms": round(ms, 2)}
+
+
+def bench_c6():
+    return _bench_order_3d(4, "c6")
+
+
+def bench_c7():
+    return _bench_order_3d(5, "c7")
+
+
+def bench_c8():
+    """4D 24^4 order-3 forward (naxis=4) — the high-rank plan path."""
+    import elasticdeform_tpu as ed
+
+    K = 4
+    xs = jnp.asarray(RNG.random((K, 24, 24, 24, 24), dtype=np.float32))
+    ds = jnp.asarray(
+        RNG.standard_normal((K, 4, 3, 3, 3, 3)).astype(np.float32) * 6)
+
+    def one(x, d):
+        return jnp.sum(ed.deform(x, d, order=3, mode='mirror'))
+
+    fK, args = _stream(one, (xs,), ds)
+    dt = _timeit(lambda: fK(*args), _sync_scalars, xs.size) / K
+    mvox = 24 ** 4 / dt / 1e6
+    f1 = jax.jit(one)
+    ms = _single_call_ms(lambda: f1(xs[0], ds[0]), _sync_scalars)
+    return {"metric": "4D 24^4 order-3 deform forward throughput",
+            "value": round(mvox, 2), "unit": "Mvox/s/chip",
+            "vs_baseline": round(mvox / BASELINES["c8"], 2),
+            "single_call_ms": round(ms, 2)}
+
+
 CONFIGS = {"c1": bench_c1, "c2": bench_c2, "c3": bench_c3,
-           "c4": bench_c4, "c5": bench_c5}
+           "c4": bench_c4, "c5": bench_c5,
+           "c6": bench_c6, "c7": bench_c7, "c8": bench_c8}
 
 
 DESCRIPTIONS = {
@@ -234,21 +324,43 @@ DESCRIPTIONS = {
     "c5": ("batch 64x 64^3 fwd+grad (headline)", "c5_batched"),
 }
 
+# supplementary (beyond the BASELINE.json five): high-order tap-loop and
+# high-rank plan paths
+DESCRIPTIONS_SUPP = {
+    "c6": ("3D 64^3 order-4 forward", "c6_3d_order4"),
+    "c7": ("3D 64^3 order-5 forward", "c7_3d_order5"),
+    "c8": ("4D 24^4 order-3 forward (naxis=4)", "c8_4d"),
+}
+
 
 def print_readme_table():
-    """Emit the README performance table from bench_results.json."""
+    """Emit the README performance tables from bench_results.json."""
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_results.json")) as f:
         results = json.load(f)
-    print("| Config (order-3, mirror) | reference C (CPU) "
-          "| this library (1x v5e) | speedup |")
-    print("|---|---|---|---|")
+
+    def row(name, desc, r):
+        lat = r.get("single_call_ms")
+        lat = f"{lat:.1f} ms" if lat is not None else "—"
+        return (f"| {desc} | {BASELINES[name]:.2f} Mvox/s "
+                f"| {r['value']:.2f} Mvox/s | {lat} "
+                f"| {r['vs_baseline']:.1f}x |")
+
+    header = ("| Config (mirror boundaries) | reference C (CPU) "
+              "| this library, streamed (1x v5e) | single call | speedup |")
+    print(header)
+    print("|---|---|---|---|---|")
     for name, (desc, _) in DESCRIPTIONS.items():
-        if name not in results:
-            continue
-        r = results[name]
-        print(f"| {desc} | {BASELINES[name]:.2f} Mvox/s "
-              f"| {r['value']:.2f} Mvox/s | {r['vs_baseline']:.1f}x |")
+        if name in results:
+            print(row(name, desc, results[name]))
+    supp = [n for n in DESCRIPTIONS_SUPP if n in results]
+    if supp:
+        print()
+        print(header.replace("Config (mirror boundaries)",
+                             "Supplementary config"))
+        print("|---|---|---|---|---|")
+        for name in supp:
+            print(row(name, DESCRIPTIONS_SUPP[name][0], results[name]))
 
 
 def main(argv):

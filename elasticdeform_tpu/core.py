@@ -66,6 +66,14 @@ def deform(X, displacement, *, order=3, mode='constant', cval=0.0, crop=None,
     * The result is differentiable w.r.t. ``X`` *and* — beyond reference
       parity — w.r.t. ``displacement`` (the reference refuses
       displacement gradients, reference tf.py:47, torch.py:29).
+    * Reverse mode (``jax.grad``/``jax.vjp``, any order — including
+      hessian-vector products) works on every strategy. **Forward mode**
+      (``jax.jvp``/``jax.jacfwd``) requires ``strategy='gather'``: the
+      default windows fast path defines a hand-optimized custom
+      reverse-mode rule (``jax.custom_vjp``), which JAX cannot apply
+      forward-mode through; the gather formulation is differentiated by
+      XLA in both modes. The two strategies are tap-for-tap equivalent
+      (tests/test_strategies.py pins 1e-12 agreement).
     * ``table_dtype='bfloat16'`` enables the opt-in fast-augmentation
       mode: the resampling window table is stored and gathered in
       bfloat16, halving the bytes of the byte-bound gather stage. Output

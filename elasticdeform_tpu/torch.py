@@ -16,6 +16,34 @@ import torch as _torch
 from elasticdeform_tpu import api as _api
 
 
+def _to_numpy(t):
+    """Host numpy view of a tensor; bfloat16 transits as float32.
+
+    numpy has no native bfloat16, so ``.numpy()`` raises on bf16 tensors.
+    The upcast is exact and the pipeline computes in float32 anyway;
+    :func:`_from_numpy` casts results back, so deforming a bf16 tensor is
+    bit-identical to deforming its f32 upcast and rounding once at the end
+    — exactly what the JAX path does with a native bf16 input.
+    """
+    t = t.detach()
+    if t.dtype == _torch.bfloat16:
+        t = t.float()
+    return t.cpu().numpy()
+
+
+def _from_numpy(y, like):
+    """Result tensor on ``like``'s device, restored to ``like``'s dtype.
+
+    np.array copies: the api wrappers return numpy VIEWS of (read-only)
+    JAX buffers; torch.as_tensor would share that memory and in-place
+    torch ops on the result would be undefined behavior.
+    """
+    out = _torch.as_tensor(np.array(y), device=like.device)
+    if like.dtype == _torch.bfloat16:
+        out = out.to(_torch.bfloat16)
+    return out
+
+
 class ElasticDeform(_torch.autograd.Function):
     @staticmethod
     def forward(ctx, displacement, args, kwargs, *xs):
@@ -27,25 +55,20 @@ class ElasticDeform(_torch.autograd.Function):
         ctx.args = args
         ctx.kwargs = kwargs
         ctx.x_shapes = [tuple(x.shape) for x in xs]
-        xs_numpy = [x.detach().cpu().numpy() for x in xs]
-        displacement_numpy = displacement.detach().cpu().numpy()
+        xs_numpy = [_to_numpy(x) for x in xs]
+        displacement_numpy = _to_numpy(displacement)
         ys = _api.deform_grid(xs_numpy, displacement_numpy, *args, **kwargs)
-        # np.array copies: the wrappers return numpy VIEWS of (read-only)
-        # JAX buffers; torch.as_tensor would share that memory and
-        # in-place torch ops on the result would be undefined behavior
-        return tuple(_torch.as_tensor(np.array(y), device=x.device)
-                     for x, y in zip(xs, ys))
+        return tuple(_from_numpy(y, x) for x, y in zip(xs, ys))
 
     @staticmethod
     def backward(ctx, *dys):
         (displacement,) = ctx.saved_tensors
-        displacement_numpy = displacement.detach().cpu().numpy()
-        dys_numpy = [dy.detach().cpu().numpy() for dy in dys]
+        displacement_numpy = _to_numpy(displacement)
+        dys_numpy = [_to_numpy(dy) for dy in dys]
         dxs = _api.deform_grid_gradient(dys_numpy, displacement_numpy,
                                         *ctx.args, X_shape=ctx.x_shapes,
                                         **ctx.kwargs)
-        dxs_torch = tuple(_torch.as_tensor(np.array(dx), device=dy.device)
-                          for dx, dy in zip(dxs, dys))
+        dxs_torch = tuple(_from_numpy(dx, dy) for dx, dy in zip(dxs, dys))
         return (None, None, None) + dxs_torch
 
 
@@ -78,25 +101,21 @@ class ElasticDeformBatch(_torch.autograd.Function):
         ctx.save_for_backward(displacement)
         ctx.kwargs = kwargs
         ctx.x_shapes = [tuple(x.shape[1:]) for x in xs]
-        xs_numpy = [x.detach().cpu().numpy() for x in xs]
-        displacement_numpy = displacement.detach().cpu().numpy()
+        xs_numpy = [_to_numpy(x) for x in xs]
+        displacement_numpy = _to_numpy(displacement)
         ys = _api.deform_batch(xs_numpy, displacement_numpy, **kwargs)
-        # np.array copies out of the read-only JAX-backed buffer (see
-        # ElasticDeform.forward)
-        return tuple(_torch.as_tensor(np.array(y), device=x.device)
-                     for x, y in zip(xs, ys))
+        return tuple(_from_numpy(y, x) for x, y in zip(xs, ys))
 
     @staticmethod
     def backward(ctx, *dys):
         (displacement,) = ctx.saved_tensors
-        displacement_numpy = displacement.detach().cpu().numpy()
-        dys_numpy = [dy.detach().cpu().numpy() for dy in dys]
+        displacement_numpy = _to_numpy(displacement)
+        dys_numpy = [_to_numpy(dy) for dy in dys]
         kwargs = {k: v for k, v in ctx.kwargs.items()
                   if k not in ("batch_impl", "table_dtype")}
         dxs = _api.deform_batch_gradient(dys_numpy, displacement_numpy,
                                          X_shape=ctx.x_shapes, **kwargs)
-        dxs_torch = tuple(_torch.as_tensor(np.array(dx), device=dy.device)
-                          for dx, dy in zip(dxs, dys))
+        dxs_torch = tuple(_from_numpy(dx, dy) for dx, dy in zip(dxs, dys))
         return (None, None) + dxs_torch
 
 
@@ -132,10 +151,9 @@ class MapCoordinates(_torch.autograd.Function):
         ctx.save_for_backward(coordinates)
         ctx.kwargs = kwargs
         ctx.x_shape = tuple(x.shape)
-        y = _api.map_coordinates(x.detach().cpu().numpy(),
-                                 coordinates.detach().cpu().numpy(),
+        y = _api.map_coordinates(_to_numpy(x), _to_numpy(coordinates),
                                  **kwargs)
-        return _torch.as_tensor(np.array(y), device=x.device)
+        return _from_numpy(y, x)
 
     @staticmethod
     def backward(ctx, dy):
@@ -143,10 +161,9 @@ class MapCoordinates(_torch.autograd.Function):
         kwargs = {k: v for k, v in ctx.kwargs.items()
                   if k not in ("table_dtype",)}
         dx = _api.map_coordinates_gradient(
-            dy.detach().cpu().numpy(),
-            coordinates.detach().cpu().numpy(),
+            _to_numpy(dy), _to_numpy(coordinates),
             X_shape=ctx.x_shape, **kwargs)
-        return None, None, _torch.as_tensor(np.array(dx), device=dy.device)
+        return None, None, _from_numpy(dx, dy)
 
 
 def map_coordinates(X, coordinates, **kwargs):

@@ -174,6 +174,90 @@ def test_jax_autodiff_matches_gradient_api():
                                rtol=1e-9, atol=1e-10)
 
 
+@pytest.mark.parametrize("order", [2, 3, 4, 5])
+def test_displacement_jvp_matches_fd(order):
+    """Forward-mode displacement derivatives vs central finite
+    differences, and forward/reverse cross-strategy consistency
+    <J v, gy> == <v, J^T gy> where the jvp runs on the gather strategy
+    (forward-mode capable) and the vjp on the default windows fast path
+    (custom reverse rule, ops/windows.py) — proving the two strategies
+    implement the same linearization at orders 2-5."""
+    X = jnp.asarray(RNG.random((16, 14)))
+    d = jnp.asarray(RNG.standard_normal((2, 3, 3)) * 3)
+    v = jnp.asarray(RNG.standard_normal(d.shape))
+
+    def f(dd):
+        return ed.deform(X, dd, order=order, mode='mirror',
+                         strategy='gather')
+
+    ydot = jax.jvp(f, (d,), (v,))[1]
+    eps = 1e-6
+    fd = (f(d + eps * v) - f(d - eps * v)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(ydot), np.asarray(fd),
+                               rtol=1e-5, atol=1e-7)
+
+    gy = jnp.asarray(RNG.random(ydot.shape))
+    _, vjpf = jax.vjp(
+        lambda dd: ed.deform(X, dd, order=order, mode='mirror'), d)
+    (gd,) = vjpf(gy)
+    np.testing.assert_allclose(float(jnp.vdot(ydot, gy)),
+                               float(jnp.vdot(v, gd)),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_windows_strategy_jvp_raises_with_guidance():
+    """The windows fast path cannot be forward-mode differentiated (its
+    custom_vjp rule is reverse-only); the error JAX raises must exist so
+    the core.deform docstring's 'use strategy=gather' guidance stays
+    accurate."""
+    X = jnp.asarray(RNG.random((12, 10)))
+    d = jnp.asarray(RNG.standard_normal((2, 3, 3)) * 3)
+    v = jnp.asarray(RNG.standard_normal(d.shape))
+    with pytest.raises(TypeError, match="custom_vjp"):
+        jax.jvp(lambda dd: ed.deform(X, dd, order=3, mode='mirror',
+                                     strategy='windows'), (d,), (v,))
+
+
+@pytest.mark.parametrize("order", [2, 3])
+def test_displacement_hvp_matches_fd(order):
+    """Hessian-vector products (grad-of-grad) w.r.t. the displacement grid
+    through a nonlinear loss — exercises differentiating the d_cc backward
+    branch itself."""
+    X = jnp.asarray(RNG.random((14, 12)))
+    d = jnp.asarray(RNG.standard_normal((2, 3, 3)) * 3)
+    v = jnp.asarray(RNG.standard_normal(d.shape))
+
+    def loss(dd):
+        return jnp.sum(ed.deform(X, dd, order=order, mode='mirror') ** 2)
+
+    g = jax.grad(loss)
+    hvp = jax.jvp(g, (d,), (v,))[1]
+    eps = 1e-6
+    fd = (g(d + eps * v) - g(d - eps * v)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(hvp), np.asarray(fd),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_batched_displacement_grad_fd():
+    """Per-sample displacement gradients through the native batched path
+    (batch folded into the window-table rows), FD-checked entry-wise."""
+    B = 3
+    X = jnp.asarray(RNG.random((B, 10, 12)))
+    D = jnp.asarray(RNG.standard_normal((B, 2, 3, 3)) * 3)
+
+    def loss(dd):
+        return jnp.sum(ed.deform_batch(X, dd, order=3, mode='mirror') ** 2)
+
+    g = jax.grad(loss)(D)
+    assert g.shape == D.shape and bool(jnp.any(g != 0))
+    eps = 1e-6
+    for idx in [(0, 0, 0, 0), (1, 1, 2, 1), (2, 0, 1, 2)]:
+        fd = (loss(D.at[idx].add(eps)) - loss(D.at[idx].add(-eps))) \
+            / (2 * eps)
+        np.testing.assert_allclose(float(fd), float(g[idx]),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_displacement_gradient_exists():
     # beyond reference parity: gradients w.r.t. the displacement grid
     X = jnp.asarray(RNG.random((20, 18)))
