@@ -82,6 +82,24 @@ def _sync_scalars(out):
         float(s)
 
 
+def _dispatch_floor_ms():
+    """Median round-trip of a trivial jitted call + scalar fetch — the
+    environment's per-call floor that every single_call_ms includes. On
+    this remote-tunnel setup it has been measured anywhere from ~1 ms to
+    ~32 ms between sessions; a local TPU host sees ~0.2-1 ms. Recorded in
+    bench_results.json so the latency column can be read correctly."""
+    f = jax.jit(lambda x: jnp.sum(x + 1.0))
+    x = jnp.zeros(8, jnp.float32)
+    float(f(x))
+    ts = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2] * 1e3
+
+
 def _single_call_ms(step, sync):
     """Per-call wall latency of ONE jitted call, synchronized per call —
     the number an interactive (non-streaming) user experiences. Includes
@@ -361,6 +379,15 @@ def print_readme_table():
         print("|---|---|---|---|---|")
         for name in supp:
             print(row(name, DESCRIPTIONS_SUPP[name][0], results[name]))
+    floor = results.get("meta", {}).get("dispatch_floor_ms")
+    if floor is not None:
+        print()
+        print(f"*Single-call latency includes the measurement "
+              f"environment's per-call dispatch+fetch floor "
+              f"({floor:.0f} ms through the remote-TPU tunnel used here; "
+              "a directly-attached TPU host pays ~0.2-1 ms). Streamed "
+              "throughput amortizes this floor, matching how training "
+              "loops run steps back-to-back.*")
 
 
 def main(argv):
@@ -410,6 +437,13 @@ def main(argv):
             with open(path) as f:
                 results = json.load(f)
         previous = dict(results)
+        floor = round(_dispatch_floor_ms(), 2)
+        results["meta"] = {"dispatch_floor_ms": floor,
+                           "note": ("single_call_ms includes this per-call "
+                                    "dispatch+fetch floor; streamed "
+                                    "throughput amortizes it")}
+        print(json.dumps({"config": "meta", "dispatch_floor_ms": floor}),
+              flush=True)
         for name in names:
             results[name] = CONFIGS[name]()
             line = {"config": name, **results[name]}

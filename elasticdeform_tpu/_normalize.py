@@ -26,6 +26,17 @@ def _is_array(x):
     return hasattr(x, "shape") and hasattr(x, "ndim") and hasattr(x, "dtype")
 
 
+def _check(cond, msg=None):
+    """``assert``-compatible validation that survives ``python -O``.
+
+    The reference validates with plain asserts (deform_grid.py:295-399),
+    which vanish under ``-O``; raising AssertionError explicitly keeps the
+    exact exception type and message contract while always validating.
+    """
+    if not cond:
+        raise AssertionError(msg) if msg is not None else AssertionError()
+
+
 def normalize_inputs(X):
     """Single array or list of arrays (reference deform_grid.py:295-306)."""
     if _is_array(X):
@@ -35,9 +46,9 @@ def normalize_inputs(X):
     else:
         raise Exception(
             'X should be a numpy.ndarray or a list of numpy.ndarrays.')
-    assert len(Xs) > 0, 'You must provide at least one image.'
-    assert all(_is_array(x) for x in Xs), \
-        'All elements of X should be numpy.ndarrays.'
+    _check(len(Xs) > 0, 'You must provide at least one image.')
+    _check(all(_is_array(x) for x in Xs),
+           'All elements of X should be numpy.ndarrays.')
     return Xs
 
 
@@ -49,18 +60,19 @@ def normalize_axis_list(axis, Xs):
         axis = (axis,)
     if isinstance(axis, tuple):
         axis = [axis] * len(Xs)
-    assert len(axis) == len(Xs), \
-        'Number of axis tuples should match number of inputs.'
+    _check(len(axis) == len(Xs),
+           'Number of axis tuples should match number of inputs.')
     input_shapes = []
     for x, ax in zip(Xs, axis):
-        assert isinstance(ax, tuple), 'axis should be given as a tuple'
-        assert all(isinstance(a, int) for a in ax), 'axis must contain ints'
-        assert len(ax) == len(axis[0]), \
-            'All axis tuples should have the same length.'
-        assert ax == tuple(sorted(set(ax))), 'axis must be sorted and unique'
-        assert all(0 <= a < x.ndim for a in ax), 'invalid axis for input'
+        _check(isinstance(ax, tuple), 'axis should be given as a tuple')
+        _check(all(isinstance(a, int) for a in ax), 'axis must contain ints')
+        _check(len(ax) == len(axis[0]),
+               'All axis tuples should have the same length.')
+        _check(ax == tuple(sorted(set(ax))), 'axis must be sorted and unique')
+        _check(all(0 <= a < x.ndim for a in ax), 'invalid axis for input')
         input_shapes.append(tuple(int(x.shape[d]) for d in ax))
-    assert len(set(input_shapes)) == 1, 'All inputs should have the same shape.'
+    _check(len(set(input_shapes)) == 1,
+           'All inputs should have the same shape.')
     deform_shape = input_shapes[0]
     return [tuple(ax) for ax in axis], deform_shape
 
@@ -70,16 +82,17 @@ def compute_output_shapes(Xs, axis, deform_shape, crop):
     naxis = len(axis[0])
     output_offset = [0] * naxis
     if crop is not None:
-        assert isinstance(crop, (tuple, list)), "crop must be a tuple or a list."
-        assert len(crop) == len(deform_shape)
+        _check(isinstance(crop, (tuple, list)),
+               "crop must be a tuple or a list.")
+        _check(len(crop) == len(deform_shape))
         output_shapes = [list(int(s) for s in x.shape) for x in Xs]
         for d in range(naxis):
             if isinstance(crop[d], slice):
-                assert crop[d].step is None
+                _check(crop[d].step is None)
                 start = (crop[d].start or 0)
                 stop = (crop[d].stop or deform_shape[d])
-                assert start >= 0
-                assert start < stop and stop <= deform_shape[d]
+                _check(start >= 0)
+                _check(start < stop and stop <= deform_shape[d])
                 for i in range(len(Xs)):
                     output_shapes[i][axis[i][d]] = stop - start
                 output_offset[d] = start
@@ -93,12 +106,13 @@ def compute_output_shapes(Xs, axis, deform_shape, crop):
 
 def normalize_displacement(displacement, Xs, axis):
     """Reference deform_grid.py:356-360."""
-    assert _is_array(displacement), \
-        'Displacement matrix should be a numpy.ndarray.'
-    assert displacement.ndim == len(axis[0]) + 1, \
-        'Number of dimensions of displacement does not match input.'
-    assert displacement.shape[0] == len(axis[0]), \
-        'First dimension of displacement should match number of input dimensions.'
+    _check(_is_array(displacement),
+           'Displacement matrix should be a numpy.ndarray.')
+    _check(displacement.ndim == len(axis[0]) + 1,
+           'Number of dimensions of displacement does not match input.')
+    _check(displacement.shape[0] == len(axis[0]),
+           'First dimension of displacement should match number of input '
+           'dimensions.')
     return displacement
 
 
@@ -106,10 +120,10 @@ def normalize_order(order, Xs):
     """Reference deform_grid.py:362-367."""
     if not isinstance(order, (tuple, list)):
         order = [order] * len(Xs)
-    assert len(Xs) == len(order), \
-        'Number of order parameters should be equal to number of inputs.'
-    assert all(0 <= o and o <= 5 for o in order), \
-        'order should be 0, 1, 2, 3, 4 or 5.'
+    _check(len(Xs) == len(order),
+           'Number of order parameters should be equal to number of inputs.')
+    _check(all(0 <= o and o <= 5 for o in order),
+           'order should be 0, 1, 2, 3, 4 or 5.')
     return [int(o) for o in order]
 
 
@@ -118,8 +132,8 @@ def normalize_mode(mode, Xs):
     if not isinstance(mode, (tuple, list)):
         mode = [mode] * len(Xs)
     mode = [mode_to_code(m) for m in mode]
-    assert len(Xs) == len(mode), \
-        'Number of mode parameters should be equal to number of inputs.'
+    _check(len(Xs) == len(mode),
+           'Number of mode parameters should be equal to number of inputs.')
     return mode
 
 
@@ -127,8 +141,8 @@ def normalize_cval(cval, Xs):
     """Reference deform_grid.py:376-380."""
     if not isinstance(cval, (tuple, list)):
         cval = [cval] * len(Xs)
-    assert len(Xs) == len(cval), \
-        'Number of cval parameters should be equal to number of inputs.'
+    _check(len(Xs) == len(cval),
+           'Number of cval parameters should be equal to number of inputs.')
     return [float(c) for c in cval]
 
 
@@ -162,8 +176,8 @@ def build_map_spec(x, axis, deform_shape, out_spatial, order, mode, cval,
     ``scipy.ndimage.map_coordinates`` where the output shape is
     ``coordinates.shape[1:]``.
     """
-    assert strategy in ("auto", "windows", "gather"), \
-        "strategy must be 'auto', 'windows' or 'gather'"
+    _check(strategy in ("auto", "windows", "gather"),
+           "strategy must be 'auto', 'windows' or 'gather'")
     naxis = len(axis)
     channels = tuple(d for d in range(x.ndim) if d not in axis)
     if channels and len(out_spatial) != naxis:
@@ -205,8 +219,8 @@ def build_spec(Xs, axis, deform_shape, output_shapes, output_offset,
                has_affine, compute_dtype=None, strategy="auto",
                table_dtype=None):
     """Assemble the static :class:`DeformSpec` for a call."""
-    assert strategy in ("auto", "windows", "gather"), \
-        "strategy must be 'auto', 'windows' or 'gather'"
+    _check(strategy in ("auto", "windows", "gather"),
+           "strategy must be 'auto', 'windows' or 'gather'")
     if compute_dtype is None:
         compute_dtype = default_compute_dtype(
             displacement_dtype, *[x.dtype for x in Xs])

@@ -12,6 +12,13 @@ from __future__ import annotations
 import numpy as np
 
 
+def _check(cond, msg):
+    # assert-compatible validation that survives ``python -O`` (exact
+    # reference error messages, see _normalize._check)
+    if not cond:
+        raise AssertionError(msg)
+
+
 def normalize_affine(affine, n_axes: int):
     """Validate/convert an affine matrix (reference deform_grid.py:382-390).
 
@@ -25,10 +32,11 @@ def normalize_affine(affine, n_axes: int):
     affine = np.asarray(affine)
     if affine.shape == (n_axes + 1, n_axes + 1):
         expected = np.concatenate([np.zeros(n_axes), [1.0]])
-        assert np.allclose(affine[n_axes, :], expected), 'Invalid affine matrix.'
+        _check(np.allclose(affine[n_axes, :], expected),
+               'Invalid affine matrix.')
         affine = affine[:n_axes, :]
-    assert affine.shape == (n_axes, n_axes + 1), \
-        'Affine matrix should have shape (ndim, ndim+1).'
+    _check(affine.shape == (n_axes, n_axes + 1),
+           'Affine matrix should have shape (ndim, ndim+1).')
     return np.asarray(affine, dtype=np.float64)
 
 
@@ -75,8 +83,8 @@ def apply_rotation_and_zoom(rotate, zoom, inv_affine, output_shape):
     (reference deform_grid.py:426-438)."""
     if rotate is None and zoom is None:
         return inv_affine
-    assert len(output_shape) == 2, \
-        'Zoom and rotate is only implemented for 2D images.'
+    _check(len(output_shape) == 2,
+           'Zoom and rotate is only implemented for 2D images.')
     rotate = -float(rotate or 0)
     zoom = 1.0 / float(zoom or 1)
     center = np.asarray(output_shape, dtype=np.float64) / 2 - 0.5

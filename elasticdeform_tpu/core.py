@@ -162,10 +162,10 @@ def _prepare_batch(X, displacement, order, mode, cval, crop, prefilter,
 
     Xs = _n.normalize_inputs(X)
     B = int(Xs[0].shape[0])
-    assert all(int(x.shape[0]) == B for x in Xs), \
-        'All inputs should have the same batch size.'
-    assert int(displacement.shape[0]) == B, \
-        'displacement must have a leading batch axis matching X.'
+    _n._check(all(int(x.shape[0]) == B for x in Xs),
+              'All inputs should have the same batch size.')
+    _n._check(int(displacement.shape[0]) == B,
+              'displacement must have a leading batch axis matching X.')
 
     samples = [_Shaped(x.shape[1:], x.dtype) for x in Xs]
     axis_n, deform_shape = _n.normalize_axis_list(axis, samples)

@@ -70,7 +70,7 @@ LANES = 128
 #     forward 44.9 vs 32.7 Mvox/s (r3 campaign5); LOSES on 64^3 pair
 #     configs whose 448 table already fits the cap (c4 15 vs 25).
 #   'auto' (default): 448 unless the per-sample 448 table exceeds
-#     _GATHER_SLICE_BYTES and 888's is smaller (needs deform_size).
+#     _gather_slice_bytes() and 888's is smaller (needs deform_size).
 # Read at call time so A/B runs and tests can flip it per trace.
 def _plan3d():
     return os.environ.get("ELASTICDEFORM_TPU_PLAN3D", "auto")
@@ -135,7 +135,7 @@ def window_plan(naxis: int, order: int, deform_size=None):
                 if deform_size is not None:
                     b448 = _table_bytes(deform_size, widths, order)
                     b888 = _table_bytes(deform_size, (8, 8, 8), order)
-                    if b448 > _GATHER_SLICE_BYTES and b888 < b448:
+                    if b448 > _gather_slice_bytes() and b888 < b448:
                         widths = (8, 8, 8)
         else:
             # 128 lanes cannot cover a 3-axis stencil of width 5/6:
@@ -847,20 +847,57 @@ def _shifted_weight_vector(w_taps, offset, width, order, dtype):
 # (x batch under vmap), while each step still issues >10^4 row gathers.
 _CHUNK_ROWS = int(os.environ.get("ELASTICDEFORM_TPU_CHUNK_ROWS", "32768"))
 
-# gather-operand cap for the per-sample-group decomposition: XLA stages
-# gather operands of <= ~64 MiB in VMEM and sustains ~250 M rows/s there,
-# vs ~82 M rows/s for HBM-resident operands (measured on v5e,
-# tools/probe_gather.py). Batched gathers therefore dynamic-slice the big
-# table into per-sample-group sub-tables under this cap.
-_GATHER_SLICE_BYTES = int(os.environ.get(
-    "ELASTICDEFORM_TPU_GATHER_SLICE_BYTES", str(48 << 20)))
+# --- per-platform defaults for the VMEM-tied caps -----------------------
+# The two byte caps below were measured on TPU v5e, whose cores have
+# 128 MiB of VMEM; on parts with a different VMEM size the measured
+# "XLA stages gather operands in VMEM under ~64 MiB" behavior shifts
+# proportionally. When the env var is unset, the default scales with the
+# device generation's VMEM (same 3/8 resp. 1/2 fractions of VMEM as the
+# v5e-measured values); env vars always win. CPU and unknown kinds keep
+# the v5e numbers (the caps are harmless there — CPU has no VMEM).
+_VMEM_MIB_BY_KIND = (
+    ("v2", 16), ("v3", 16),          # 16 MiB VMEM generations
+    # v4/v5/v5 lite/v6 lite (Trillium): 128 MiB-class VMEM
+)
 
-# cap on the gathered-value buffer materialized per backward scatter group.
-# Small groups win: the HBM read-modify-write of the row scatter is locality
-# bound (measured on v5e, 64x 64^3: per-sample groups 265 ms vs 352 ms for
-# 8-sample groups)
-_BWD_GROUP_BYTES = int(os.environ.get(
-    "ELASTICDEFORM_TPU_BWD_GROUP_BYTES", str(64 << 20)))
+
+@functools.lru_cache(maxsize=1)
+def _vmem_mib():
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return 128
+    for key, mib in _VMEM_MIB_BY_KIND:
+        if key in kind and f"{key}." not in kind:
+            return mib
+    return 128
+
+
+def _cap_bytes(env_name, vmem_fraction_num, vmem_fraction_den):
+    v = os.environ.get(env_name)
+    if v:
+        return int(v)
+    return (_vmem_mib() * vmem_fraction_num // vmem_fraction_den) << 20
+
+
+@functools.lru_cache(maxsize=1)
+def _gather_slice_bytes():
+    """Gather-operand cap for the per-sample-group decomposition: XLA
+    stages gather operands of <= ~64 MiB in VMEM and sustains ~250 M
+    rows/s there, vs ~82 M rows/s for HBM-resident operands (measured on
+    v5e, tools/probe_gather.py). Batched gathers therefore dynamic-slice
+    the big table into per-sample-group sub-tables under this cap
+    (3/8 VMEM = 48 MiB on 128-MiB parts)."""
+    return _cap_bytes("ELASTICDEFORM_TPU_GATHER_SLICE_BYTES", 3, 8)
+
+
+@functools.lru_cache(maxsize=1)
+def _bwd_group_bytes():
+    """Cap on the gathered-value buffer materialized per backward scatter
+    group. Small groups win: the HBM read-modify-write of the row scatter
+    is locality bound (measured on v5e, 64x 64^3: per-sample groups 265 ms
+    vs 352 ms for 8-sample groups). 1/2 VMEM = 64 MiB on 128-MiB parts."""
+    return _cap_bytes("ELASTICDEFORM_TPU_BWD_GROUP_BYTES", 1, 2)
 
 
 class _StageParams(NamedTuple):
@@ -1049,10 +1086,10 @@ def _gather_group_size(p: _StageParams, row_bytes: int):
     """
     B = max(p.nbatch, 1)
     sample_bytes = p.rows_per_sample * row_bytes
-    if B <= 1 or B * sample_bytes <= _GATHER_SLICE_BYTES \
-            or sample_bytes > _GATHER_SLICE_BYTES:
+    cap = _gather_slice_bytes()
+    if B <= 1 or B * sample_bytes <= cap or sample_bytes > cap:
         return 0
-    G = max(1, min(B, _GATHER_SLICE_BYTES // sample_bytes))
+    G = max(1, min(B, cap // sample_bytes))
     while B % G:
         G -= 1
     return G
@@ -1069,7 +1106,7 @@ def _stage_primal(table2, cc_flat, p: _StageParams):
 
     # per-sample-group decomposition: gather each group's voxels from a
     # dynamic slice of the table so the gather operand stays VMEM-sized
-    # (~3x the HBM-resident row-gather rate, see _GATHER_SLICE_BYTES)
+    # (~3x the HBM-resident row-gather rate, see _gather_slice_bytes)
     ngroups = B // G
     group_rows = G * p.rows_per_sample
     gp = p._replace(nbatch=G)
@@ -1092,7 +1129,7 @@ def _bwd_group(p: _StageParams):
     """Samples per backward group (bounds the live scatter target)."""
     B = max(p.nbatch, 1)
     bytes_per_sample = p.n_out_s * p.channels * p.lane_count * 4
-    return max(1, min(B, _BWD_GROUP_BYTES // max(bytes_per_sample, 1)))
+    return max(1, min(B, _bwd_group_bytes() // max(bytes_per_sample, 1)))
 
 
 def _scatter_group(g_g, cc_g, p: _StageParams, gsz: int):

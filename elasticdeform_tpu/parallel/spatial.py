@@ -45,6 +45,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from elasticdeform_tpu.ops import modes as _modes
+from elasticdeform_tpu._normalize import _check
 from elasticdeform_tpu.ops.bspline import filter_start, spline_weights
 from elasticdeform_tpu.ops.deform import (
     _prefilter_displacement, default_compute_dtype,
@@ -180,18 +181,19 @@ def _normalize_crop(crop, global_shape):
     """Per-axis (start, stop) from a list of slices (reference crop rules:
     plain non-negative start/stop, no step — deform_grid.py:335-346)."""
     naxis = len(global_shape)
-    assert isinstance(crop, (list, tuple)) and len(crop) == naxis, \
-        "crop must be a list with one slice per volume axis"
+    _check(isinstance(crop, (list, tuple)) and len(crop) == naxis,
+           "crop must be a list with one slice per volume axis")
     bounds = []
     for h, sl in enumerate(crop):
         if sl is None:
             sl = slice(None)
-        assert isinstance(sl, slice) and sl.step in (None, 1), \
-            "crop slices must be plain slice(start, stop)"
+        _check(isinstance(sl, slice) and sl.step in (None, 1),
+               "crop slices must be plain slice(start, stop)")
         start = 0 if sl.start is None else int(sl.start)
         stop = global_shape[h] if sl.stop is None else int(sl.stop)
-        assert 0 <= start < stop <= global_shape[h], \
-            f"crop slice {sl} out of range for axis {h} ({global_shape[h]})"
+        _check(0 <= start < stop <= global_shape[h],
+               f"crop slice {sl} out of range for axis {h} "
+               f"({global_shape[h]})")
         bounds.append((start, stop))
     return bounds
 
@@ -221,8 +223,8 @@ def _spatial_crop_impl(mesh, x, displacement, max_displacement, order, mode,
         else [cval] * len(xs)
     assert len(cvals) == len(xs)
     for a in xs[1:]:
-        assert a.shape == xs[0].shape, \
-            "all inputs must share the (deformed) shape"
+        _check(a.shape == xs[0].shape,
+               "all inputs must share the (deformed) shape")
 
     mode_code = _modes.mode_to_code(mode)
     if mode_code == _modes.MODE_WRAP:
@@ -236,11 +238,11 @@ def _spatial_crop_impl(mesh, x, displacement, max_displacement, order, mode,
     bounds = _normalize_crop(crop, global_shape)
     start0, stop0 = bounds[0]
     out0 = stop0 - start0
-    assert out0 % n == 0, \
-        "the cropped extent of axis 0 must divide evenly over the mesh"
+    _check(out0 % n == 0,
+           "the cropped extent of axis 0 must divide evenly over the mesh")
     s_out = out0 // n
     S0 = global_shape[0]
-    assert S0 % n == 0, "axis 0 must divide evenly over the mesh"
+    _check(S0 % n == 0, "axis 0 must divide evenly over the mesh")
     s_in = S0 // n
     halo = int(math.ceil(max_displacement)) + order + 2
     if prefilter and order > 1:
@@ -365,8 +367,8 @@ def _spatial_impl(mesh, x, displacement, max_displacement, order, mode,
         else [cval] * len(xs)
     assert len(cvals) == len(xs)
     for a in xs[1:]:
-        assert a.shape == xs[0].shape, \
-            "all inputs must share the (deformed) shape"
+        _check(a.shape == xs[0].shape,
+               "all inputs must share the (deformed) shape")
 
     mode_code = _modes.mode_to_code(mode)
     wrap = mode_code == _modes.MODE_WRAP
@@ -376,16 +378,16 @@ def _spatial_impl(mesh, x, displacement, max_displacement, order, mode,
     naxis = len(global_shape)
     assert displacement.shape[1 if batched else 0] == naxis
     S0 = global_shape[0]
-    assert S0 % n == 0, "axis 0 must divide evenly over the mesh"
+    _check(S0 % n == 0, "axis 0 must divide evenly over the mesh")
     s = S0 // n
     halo = int(math.ceil(max_displacement)) + order + 2
     if prefilter and order > 1:
         halo += _PREFILTER_HALO[order]
     # the global-edge mirror slabs read x_local[1:halo+1], so the halo must
     # be strictly smaller than one shard
-    assert halo + 1 <= s, (
-        f"halo ({halo}) + 1 must fit in one shard ({s}); use fewer shards "
-        f"or a smaller max_displacement")
+    _check(halo + 1 <= s,
+           f"halo ({halo}) + 1 must fit in one shard ({s}); use fewer "
+           "shards or a smaller max_displacement")
 
     if dense_field:
         exp = ((naxis,) + global_shape)
@@ -734,8 +736,8 @@ def _spatial_nd_impl(mesh, x, displacement, max_displacement, order, mode,
         else [cval] * len(xs)
     assert len(cvals) == len(xs)
     for a in xs[1:]:
-        assert a.shape == xs[0].shape, \
-            "all inputs must share the (deformed) shape"
+        _check(a.shape == xs[0].shape,
+               "all inputs must share the (deformed) shape")
 
     K = len(axis_names)
     global_shape = tuple(int(d) for d in
@@ -749,12 +751,13 @@ def _spatial_nd_impl(mesh, x, displacement, max_displacement, order, mode,
     if prefilter and order > 1:
         halo += _PREFILTER_HALO[order]
     for k in range(K):
-        assert global_shape[k] % ns[k] == 0, \
-            f"axis {k} must divide evenly over mesh axis {axis_names[k]}"
+        _check(global_shape[k] % ns[k] == 0,
+               f"axis {k} must divide evenly over mesh axis "
+               f"{axis_names[k]}")
         s_k = global_shape[k] // ns[k]
-        assert halo + 1 <= s_k, (
-            f"halo ({halo}) + 1 must fit in one axis-{k} shard ({s_k}); "
-            "use fewer shards or a smaller max_displacement")
+        _check(halo + 1 <= s_k,
+               f"halo ({halo}) + 1 must fit in one axis-{k} shard ({s_k}); "
+               "use fewer shards or a smaller max_displacement")
         ss.append(s_k)
 
     if validate:

@@ -3,6 +3,8 @@
 Mirrors the argument-handling behaviour of reference deform_grid.py:295-399.
 """
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -243,3 +245,31 @@ def test_table_dtype_fast_mode():
 
     with pytest.raises(ValueError):
         ed.deform(X, d, table_dtype='int32')
+
+
+def test_validation_survives_python_O():
+    """Argument validation raises under ``python -O`` too: the reference's
+    assert-based checks vanish there (same messages, deform_grid.py:295-399);
+    this library validates unconditionally (_normalize._check)."""
+    import subprocess
+    import sys
+    code = (
+        "import numpy as np\n"
+        "import elasticdeform_tpu as ed\n"
+        "try:\n"
+        "    ed.deform_grid(np.zeros((4, 4)), np.zeros((3, 3, 3)))\n"
+        "except AssertionError as e:\n"
+        "    assert 'First dimension of displacement' in str(e), e\n"
+        "else:\n"
+        "    raise SystemExit('no validation error under -O')\n"
+        "try:\n"
+        "    ed.deform_grid(np.zeros((4, 4)), np.zeros((2, 3, 3)), order=7)\n"
+        "except AssertionError as e:\n"
+        "    assert 'order should be' in str(e), e\n"
+        "else:\n"
+        "    raise SystemExit('no order validation under -O')\n"
+        "print('OK')\n")
+    r = subprocess.run([sys.executable, "-O", "-c", code],
+                       capture_output=True, text=True, timeout=300,
+                       env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0 and "OK" in r.stdout, (r.stdout, r.stderr)

@@ -131,7 +131,7 @@ def test_batched_displacement_grad_grouped(monkeypatch):
 
     g_full = jax.grad(loss)(D)
     # force group size 1 (each sample's table sliced separately)
-    monkeypatch.setattr(windows, "_BWD_GROUP_BYTES", 1)
+    monkeypatch.setattr(windows, "_bwd_group_bytes", lambda: 1)
     g_grouped = jax.grad(loss)(D)
     np.testing.assert_allclose(np.asarray(g_grouped), np.asarray(g_full),
                                rtol=1e-10, atol=1e-10)
