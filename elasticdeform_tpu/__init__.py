@@ -30,7 +30,8 @@ JAX-native functional API (traceable, differentiable):
 
 General resampler family (beyond the reference — scipy.ndimage parity):
     map_coordinates (+ _batch, _gradient), deform_field (+ _batch),
-    affine_transform, shift, zoom, rotate, spline_filter, spline_filter1d
+    affine_transform, shift, zoom, rotate, geometric_transform,
+    spline_filter, spline_filter1d
 
 Multi-chip scale-out (elasticdeform_tpu.parallel):
     batched/sharded deformation, spatially-sharded volumes with halo
@@ -55,6 +56,7 @@ from elasticdeform_tpu.core import (
     deform_field_batch,
     deform_gradient,
     displacement_field,
+    geometric_transform,
     map_coordinates,
     map_coordinates_batch,
     map_coordinates_gradient,
@@ -81,6 +83,7 @@ __all__ = [
     "deform_field_batch",
     "deform_gradient",
     "displacement_field",
+    "geometric_transform",
     "map_coordinates",
     "map_coordinates_batch",
     "map_coordinates_gradient",

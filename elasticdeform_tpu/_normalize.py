@@ -137,13 +137,26 @@ def normalize_mode(mode, Xs):
     return mode
 
 
+def cval_scalar(c):
+    """Coerce one cval to a Python scalar.
+
+    Complex cvals (supporting complex inputs, like scipy.ndimage which
+    casts cval to the input dtype) stay complex; everything else keeps the
+    reference's ``float()`` coercion — including its exception text for
+    non-numeric values (reference deform_grid.py:380)."""
+    if isinstance(c, complex) or \
+            getattr(getattr(c, "dtype", None), "kind", "") == "c":
+        return complex(c)
+    return float(c)
+
+
 def normalize_cval(cval, Xs):
     """Reference deform_grid.py:376-380."""
     if not isinstance(cval, (tuple, list)):
         cval = [cval] * len(Xs)
     _check(len(Xs) == len(cval),
            'Number of cval parameters should be equal to number of inputs.')
-    return [float(c) for c in cval]
+    return [cval_scalar(c) for c in cval]
 
 
 def resolve_affine(affine, rotate, zoom, axis, output_shapes):
@@ -198,7 +211,7 @@ def build_map_spec(x, axis, deform_shape, out_spatial, order, mode, cval,
         axis=tuple(axis),
         order=int(order),
         mode=mode_to_code(mode),
-        cval=float(cval),
+        cval=cval_scalar(cval),
         out_shape=out_shape,
     )
     return DeformSpec(

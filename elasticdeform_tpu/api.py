@@ -93,6 +93,82 @@ def _jitted_batch_gradient(spec, use_native=True):
     return jax.jit(fn)
 
 
+def _is_complex_array(x) -> bool:
+    return np.dtype(np.asarray(x).dtype).kind == "c"
+
+
+def _expand_param(p, positions, n, split=None):
+    """Duplicate a per-input parameter at the complex positions.
+
+    Non-list parameters broadcast to every input already, so they pass
+    through unchanged — except when ``split`` is given (cval), where the
+    scalar must become a per-input list so the real/imag entries can
+    carry different components. Lists of the wrong length also pass
+    through so the inner call raises the reference's count error.
+    """
+    if not isinstance(p, list):
+        if split is None:
+            return p
+        p = [p] * n
+    if len(p) != n:
+        return p
+    out = []
+    for i, v in enumerate(p):
+        if i in positions:
+            out.extend(split(v) if split is not None else (v, v))
+        else:
+            out.append(v)
+    return out
+
+
+def _expand_complex_call(fn, X, args, kwargs, shape_key=None):
+    """Run a numpy-API function with complex inputs expanded host-side.
+
+    The TPU backend stores complex arrays but cannot execute any op on
+    them, so complex values must never reach the device: each complex
+    input becomes two real inputs (its real and imaginary parts) sharing
+    the deformation — the multi-input machinery computes the displacement
+    field and sample coordinates once — and the outputs are recombined on
+    the host. ``cval`` splits into per-component fills; per-input lists
+    (order/mode/axis/X_shape) duplicate at the complex positions.
+    """
+    Xs = X if isinstance(X, list) else [np.asarray(X)]
+    positions = {i for i, x in enumerate(Xs) if _is_complex_array(x)}
+    n = len(Xs)
+    Xs2 = []
+    for i, x in enumerate(Xs):
+        x = np.asarray(x)
+        if i in positions:
+            Xs2.append(np.ascontiguousarray(x.real))
+            Xs2.append(np.ascontiguousarray(x.imag))
+        else:
+            Xs2.append(x)
+    kw = dict(kwargs)
+    for name in ("order", "mode", "axis"):
+        if name in kw:
+            kw[name] = _expand_param(kw[name], positions, n)
+    if "cval" in kw:
+        kw["cval"] = _expand_param(
+            kw["cval"], positions, n,
+            split=lambda v: (complex(v).real, complex(v).imag))
+    if shape_key and kw.get(shape_key) is not None:
+        s = kw[shape_key]
+        kw[shape_key] = _expand_param(
+            [s] * n if isinstance(s, tuple) else s, positions, n)
+    outs = fn(Xs2, *args, **kw)
+    merged = []
+    j = 0
+    for i, x in enumerate(Xs):
+        if i in positions:
+            dt = np.dtype(np.asarray(x).dtype)
+            merged.append((outs[j] + 1j * outs[j + 1]).astype(dt))
+            j += 2
+        else:
+            merged.append(outs[j])
+            j += 1
+    return merged if isinstance(X, list) else merged[0]
+
+
 def _to_device(arrays):
     return tuple(jnp.asarray(a) for a in arrays)
 
@@ -237,6 +313,13 @@ def deform_grid(X, displacement, order=3, mode='constant', cval=0.0,
         The deformed image(s) with the input dtypes (integer outputs are
         rounded and clamped like the reference, deform.c:287-306).
     """
+    if any(_is_complex_array(x)
+           for x in (X if isinstance(X, list) else [X])):
+        return _expand_complex_call(
+            deform_grid, X, (displacement,),
+            dict(order=order, mode=mode, cval=cval, crop=crop,
+                 prefilter=prefilter, axis=axis, affine=affine,
+                 rotate=rotate, zoom=zoom, strategy=strategy))
     Xs = _n.normalize_inputs(X)
     axis_n, deform_shape = _n.normalize_axis_list(axis, Xs)
     output_shapes, output_offset = _n.compute_output_shapes(
@@ -297,6 +380,14 @@ rotate, zoom, strategy
         dtype(s) of ``dY``. There is no gradient w.r.t. ``displacement``
         here (reference parity); the JAX-native path supports it.
     """
+    if any(_is_complex_array(x)
+           for x in (dY if isinstance(dY, list) else [dY])):
+        return _expand_complex_call(
+            deform_grid_gradient, dY, (displacement,),
+            dict(order=order, mode=mode, cval=cval, crop=crop,
+                 prefilter=prefilter, axis=axis, X_shape=X_shape,
+                 affine=affine, rotate=rotate, zoom=zoom,
+                 strategy=strategy), shape_key="X_shape")
     dYs = _n.normalize_inputs(dY)
     if isinstance(X_shape, tuple):
         X_shape = [X_shape]
@@ -358,6 +449,16 @@ def map_coordinates(X, coordinates, order=3, mode='constant', cval=0.0,
     from elasticdeform_tpu.core import _prepare_map
 
     X = np.asarray(X)
+    if _is_complex_array(X):
+        # host-side split: complex never reaches the device (the TPU
+        # backend cannot execute complex ops); two real passes share the
+        # jit cache entry
+        cv = complex(cval)
+        parts = [map_coordinates(np.ascontiguousarray(p), coordinates,
+                                 order, mode, c, prefilter, axis,
+                                 strategy=strategy, table_dtype=table_dtype)
+                 for p, c in ((X.real, cv.real), (X.imag, cv.imag))]
+        return (parts[0] + 1j * parts[1]).astype(X.dtype)
     coordinates, spec = _prepare_map(
         X, jnp.asarray(np.asarray(coordinates)), order, mode,
         cval, prefilter, axis, strategy, table_dtype)
@@ -366,6 +467,34 @@ def map_coordinates(X, coordinates, order=3, mode='constant', cval=0.0,
     # astype preserves the numpy dtype contract when x64 is disabled
     # (the device path computes/casts in f32 then; cf. _to_host)
     return np.asarray(y).astype(X.dtype, copy=False)
+
+
+def geometric_transform(X, mapping, output_shape=None, order=3,
+                        mode='constant', cval=0.0, prefilter=True,
+                        extra_arguments=(), extra_keywords=None, *,
+                        strategy="auto"):
+    """Resample through an arbitrary coordinate mapping: numpy in, numpy
+    out (``scipy.ndimage.geometric_transform`` equivalent).
+
+    ``mapping`` receives a tuple of output coordinate arrays (each of
+    shape ``output_shape``) and returns a tuple of ``X.ndim`` input
+    coordinate arrays — evaluated once on the host with numpy (not per
+    voxel like scipy, so it must be vectorized arithmetic); the
+    resampling itself runs jit-compiled on the device via
+    :func:`map_coordinates`. See the JAX-native
+    :func:`elasticdeform_tpu.geometric_transform` for a version that
+    traces the mapping into the compiled program.
+    """
+    X = np.asarray(X)
+    out_shape = tuple(int(s) for s in output_shape) \
+        if output_shape is not None else X.shape
+    idx = np.indices(out_shape, dtype=np.float64)
+    coords = mapping(tuple(idx), *extra_arguments, **(extra_keywords or {}))
+    coordinates = np.stack(
+        [np.broadcast_to(np.asarray(c, dtype=np.float64), out_shape)
+         for c in coords])
+    return map_coordinates(X, coordinates, order, mode, cval, prefilter,
+                           None, strategy=strategy)
 
 
 def map_coordinates_gradient(dY, coordinates, order=3, mode='constant',
@@ -385,6 +514,13 @@ def map_coordinates_gradient(dY, coordinates, order=3, mode='constant',
         raise ValueError("X_shape is required (the input shape cannot be "
                          "inferred from dY).")
     dY = np.asarray(dY)
+    if _is_complex_array(dY):
+        cv = complex(cval)
+        parts = [map_coordinates_gradient(
+            np.ascontiguousarray(p), coordinates, order, mode, c,
+            prefilter, axis, X_shape, strategy=strategy)
+            for p, c in ((dY.real, cv.real), (dY.imag, cv.imag))]
+        return (parts[0] + 1j * parts[1]).astype(dY.dtype)
     shaped = _Shaped(tuple(int(s) for s in X_shape), dY.dtype)
     coordinates, spec = _prepare_map(
         shaped, jnp.asarray(np.asarray(coordinates)), order, mode, cval,
@@ -412,6 +548,14 @@ def deform_batch(X, displacement, order=3, mode='constant', cval=0.0,
     """
     from elasticdeform_tpu.core import _prepare_batch
 
+    if any(_is_complex_array(x)
+           for x in (X if isinstance(X, list) else [X])):
+        return _expand_complex_call(
+            deform_batch, X, (displacement,),
+            dict(order=order, mode=mode, cval=cval, crop=crop,
+                 prefilter=prefilter, axis=axis, affine=affine,
+                 rotate=rotate, zoom=zoom, strategy=strategy,
+                 batch_impl=batch_impl, table_dtype=table_dtype))
     Xs, inv_affine, spec, use_native, _ = _prepare_batch(
         X, displacement, order, mode, cval, crop, prefilter, axis, affine,
         rotate, zoom, strategy, table_dtype, batch_impl)
@@ -439,6 +583,15 @@ def deform_batch_gradient(dY, displacement, order=3, mode='constant',
     from elasticdeform_tpu.core import _native_grad_ok, \
         _prepare_batch_gradient
 
+    if any(_is_complex_array(x)
+           for x in (dY if isinstance(dY, list) else [dY])):
+        return _expand_complex_call(
+            deform_batch_gradient, dY, (displacement,),
+            dict(order=order, mode=mode, cval=cval, crop=crop,
+                 prefilter=prefilter, axis=axis, X_shape=X_shape,
+                 affine=affine, rotate=rotate, zoom=zoom,
+                 strategy=strategy, batch_impl=batch_impl),
+            shape_key="X_shape")
     dYs, inv_affine, spec, _, use_native = _prepare_batch_gradient(
         dY, displacement, order, mode, cval, crop, prefilter, axis,
         X_shape, affine, rotate, zoom, strategy, batch_impl)

@@ -658,6 +658,44 @@ def rotate(X, angle, axes=(1, 0), *, reshape=True, order=3,
                             strategy=strategy)
 
 
+def geometric_transform(X, mapping, output_shape=None, *, order=3,
+                        mode='constant', cval=0.0, prefilter=True,
+                        extra_arguments=(), extra_keywords=None,
+                        strategy="auto", table_dtype=None):
+    """Resample through an arbitrary coordinate mapping
+    (``scipy.ndimage.geometric_transform`` equivalent).
+
+    ``mapping(output_coords, *extra_arguments, **extra_keywords)`` maps
+    output positions to input positions: it receives a tuple of
+    ``len(output_shape)`` coordinate arrays (each of shape
+    ``output_shape``, float) and must return a tuple of ``X.ndim``
+    arrays (or broadcastable values) giving the input coordinate to
+    interpolate for every output voxel. Unlike scipy — which calls a
+    Python function once per voxel — the mapping here is applied to
+    whole coordinate arrays and traced into the compiled program, so it
+    must be vectorized/jax-traceable (ordinary arithmetic on the arrays,
+    as in ``lambda c: (c[0] * 0.9 + 1.0, c[1] - 2.5)``). With the same
+    elementwise arithmetic the results match scipy's. Boundary ``mode``
+    semantics are the library's reference-parity (pre-SciPy-1.6)
+    formulas; everything else follows :func:`map_coordinates`, which
+    this wraps. Traceable and differentiable w.r.t. ``X`` (and w.r.t.
+    anything the mapping closes over, through the coordinates).
+    """
+    X = jnp.asarray(X)
+    out_shape = tuple(int(s) for s in output_shape) \
+        if output_shape is not None else X.shape
+    cdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    idx = tuple(jax.lax.broadcasted_iota(cdt, out_shape, h)
+                for h in range(len(out_shape)))
+    coords = mapping(idx, *extra_arguments, **(extra_keywords or {}))
+    coordinates = jnp.stack(
+        [jnp.broadcast_to(jnp.asarray(c).astype(cdt), out_shape)
+         for c in coords])
+    return map_coordinates(X, coordinates, order=order, mode=mode,
+                           cval=cval, prefilter=prefilter,
+                           strategy=strategy, table_dtype=table_dtype)
+
+
 def spline_filter1d(X, *, order=3, axis=0):
     """B-spline prefilter along one axis (``scipy.ndimage.spline_filter1d``
     with mirror boundaries — the filter :func:`deform` and

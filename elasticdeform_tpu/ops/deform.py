@@ -84,12 +84,57 @@ class DeformSpec:
 
 
 def default_compute_dtype(*dtypes) -> str:
-    """float64 when x64 is enabled and any operand is 64-bit, else float32."""
+    """float64 when x64 is enabled and any operand is 64-bit, else float32.
+
+    Complex operands count by component width: complex128 is a 64-bit
+    computation (its real/imag parts are float64), complex64 a 32-bit one.
+    """
     if jax.config.jax_enable_x64 and any(
-            np.dtype(d).itemsize >= 8 and np.dtype(d).kind in "fiu"
+            (np.dtype(d).itemsize >= 8 and np.dtype(d).kind in "fiu")
+            or (np.dtype(d).kind == "c" and np.dtype(d).itemsize >= 16)
             for d in dtypes):
         return "float64"
     return "float32"
+
+
+def _is_complex(dtype) -> bool:
+    return np.dtype(dtype).kind == "c"
+
+
+def _complex_to_channels(xt):
+    """(*s, C) complex -> (*s, 2C) real: real block then imag block.
+
+    The whole resampling pipeline is linear in the input with *real*
+    coefficients (spline weights, prefilter, fold), so deforming the real
+    and imaginary parts independently is exact — and it doubles the
+    existing channel axis instead of running the pipeline twice, so the
+    displacement interpolation, coordinate mapping, and window indices are
+    all computed once. This is also the only TPU-viable formulation: the
+    TPU backend has no complex arithmetic.
+    """
+    return jnp.concatenate([jnp.real(xt), jnp.imag(xt)], axis=-1)
+
+
+def _channels_to_complex(y):
+    """Inverse of :func:`_complex_to_channels` on the last axis."""
+    C = y.shape[-1] // 2
+    return jax.lax.complex(y[..., :C], y[..., C:])
+
+
+def _cval_term(cval, nchan, cdt, cplx: bool):
+    """Constant-mode fill value, broadcast over the channel axis.
+
+    For complex inputs the channels are the split real/imag blocks, so the
+    fill is a (2C,) vector carrying ``cval.real`` in the first half and
+    ``cval.imag`` in the second (scipy.ndimage casts cval to the input
+    dtype; the reference supports float cvals only, deform_grid.py:376).
+    """
+    if not cplx:
+        return jnp.asarray(cval, dtype=cdt)
+    cv = complex(cval)
+    C = nchan // 2
+    return jnp.concatenate([jnp.full((C,), cv.real, cdt),
+                            jnp.full((C,), cv.imag, cdt)])
 
 
 def _prefilter_displacement(displacement, cdt):
@@ -308,14 +353,19 @@ def deform_apply(xs, displacement, affine, spec: DeformSpec):
 
     ys = []
     for x, ispec in zip(xs, spec.inputs):
+        cplx = _is_complex(ispec.dtype)
         xt = _to_spatial_channels(jnp.asarray(x), ispec)
+        if cplx:
+            xt = _complex_to_channels(xt)
         y, inside = _deform_one_linear(xt, cc, ispec, spec, cdt,
                                        exact_int=True)
         if inside is not None:
             # constant-mode outside voxels take cval (deform.c:902-903)
             mask = inside[..., None]
             y = y + jnp.where(mask, jnp.zeros((), cdt),
-                              jnp.asarray(ispec.cval, dtype=cdt))
+                              _cval_term(ispec.cval, y.shape[-1], cdt, cplx))
+        if cplx:
+            y = _channels_to_complex(y)
         y = cast_output(y, ispec.dtype)
         ys.append(_from_spatial_channels(y, ispec, spec.out_spatial))
     return ys
@@ -366,14 +416,19 @@ def deform_apply_batched(xs, displacement, affine, spec: DeformSpec):
 
     ys = []
     for x, ispec in zip(xs, spec.inputs):
+        cplx = _is_complex(ispec.dtype)
         x = jnp.asarray(x)
         xt = jax.vmap(lambda a, _i=ispec: _to_spatial_channels(a, _i))(x)
+        if cplx:
+            xt = _complex_to_channels(xt)
         y, inside = _deform_one_linear_batched(xt, cc, ispec, spec, cdt,
                                                exact_int=True)
         if inside is not None:
             mask = inside[..., None]
             y = y + jnp.where(mask, jnp.zeros((), cdt),
-                              jnp.asarray(ispec.cval, dtype=cdt))
+                              _cval_term(ispec.cval, y.shape[-1], cdt, cplx))
+        if cplx:
+            y = _channels_to_complex(y)
         y = cast_output(y, ispec.dtype)
         ys.append(jax.vmap(lambda a, _i=ispec: _from_spatial_channels(
             a, _i, spec.out_spatial))(y))
@@ -397,9 +452,10 @@ def _deform_one_linear_transpose(dyt, cc, ispec: InputSpec, spec: DeformSpec,
         if spec.strategy in ("auto", "windows") else None
     if plan is None:
         # the gather path has no custom_vjp inside, so linear_transpose
-        # works and XLA turns the gathers into scatter-adds
-        _, _, chan_shape = _split_axes(ispec)
-        nchan = max(math.prod(chan_shape), 1)
+        # works and XLA turns the gathers into scatter-adds; the channel
+        # count comes from the cotangent (complex inputs arrive with their
+        # real/imag parts split into doubled channels)
+        nchan = dyt.shape[-1]
         xt_struct = jax.ShapeDtypeStruct((*spatial, nchan), jnp.dtype(cdt))
 
         def lin(xt):
@@ -457,11 +513,16 @@ def deform_gradient_apply(dys, displacement, affine, spec: DeformSpec):
 
     dxs = []
     for dy, ispec in zip(dys, spec.inputs):
+        cplx = _is_complex(ispec.dtype)
         spatial = tuple(ispec.shape[d] for d in ispec.axis)
         # bring the incoming gradient into (*out_spatial, C) layout
         out_ispec = dataclasses.replace(ispec, shape=ispec.out_shape)
-        dyt = _to_spatial_channels(jnp.asarray(dy), out_ispec).astype(cdt)
+        dyt = _to_spatial_channels(jnp.asarray(dy), out_ispec)
+        dyt = _complex_to_channels(dyt).astype(cdt) if cplx \
+            else dyt.astype(cdt)
         dxt = _deform_one_linear_transpose(dyt, cc, ispec, spec, cdt)
+        if cplx:
+            dxt = _channels_to_complex(dxt)
         dx = cast_output(dxt, ispec.dtype)
         # back to the input's original axis order, at the uncropped shape
         in_ispec = dataclasses.replace(ispec, out_shape=ispec.shape)
@@ -483,9 +544,12 @@ def map_coordinates_apply(x, coordinates, spec: DeformSpec):
     """
     cdt = spec.compute_dtype
     ispec = spec.inputs[0]
+    cplx = _is_complex(ispec.dtype)
     coords = jnp.asarray(coordinates).astype(cdt)
     cc = [coords[h] for h in range(len(ispec.axis))]
     xt = _to_spatial_channels(jnp.asarray(x), ispec)
+    if cplx:
+        xt = _complex_to_channels(xt)
     # exact_int=False: scipy's map_coordinates prefilters integer inputs
     # in float (verified vs scipy 1.17) — the per-axis integer writeback
     # is a deform_grid-only reference quirk (deform_grid.py:154-164)
@@ -494,7 +558,9 @@ def map_coordinates_apply(x, coordinates, spec: DeformSpec):
     if inside is not None:
         mask = inside[..., None]
         y = y + jnp.where(mask, jnp.zeros((), cdt),
-                          jnp.asarray(ispec.cval, dtype=cdt))
+                          _cval_term(ispec.cval, y.shape[-1], cdt, cplx))
+    if cplx:
+        y = _channels_to_complex(y)
     y = cast_output(y, ispec.dtype)
     _, _, chan_shape = _split_axes(ispec)
     if chan_shape:
@@ -515,17 +581,22 @@ def map_coordinates_apply_batched(x, coordinates, spec: DeformSpec):
     """
     cdt = spec.compute_dtype
     ispec = spec.inputs[0]
+    cplx = _is_complex(ispec.dtype)
     coords = jnp.asarray(coordinates).astype(cdt)
     cc = [coords[:, h] for h in range(len(ispec.axis))]
     x = jnp.asarray(x)
     xt = jax.vmap(lambda a: _to_spatial_channels(a, ispec))(x)
+    if cplx:
+        xt = _complex_to_channels(xt)
     # exact_int=False: scipy prefilter semantics, cf. map_coordinates_apply
     y, inside = _deform_one_linear_batched(xt, cc, ispec, spec, cdt,
                                            exact_int=False)
     if inside is not None:
         mask = inside[..., None]
         y = y + jnp.where(mask, jnp.zeros((), cdt),
-                          jnp.asarray(ispec.cval, dtype=cdt))
+                          _cval_term(ispec.cval, y.shape[-1], cdt, cplx))
+    if cplx:
+        y = _channels_to_complex(y)
     y = cast_output(y, ispec.dtype)
     _, _, chan_shape = _split_axes(ispec)
     if chan_shape:
@@ -543,16 +614,20 @@ def map_coordinates_gradient_apply(dy, coordinates, spec: DeformSpec):
     """
     cdt = spec.compute_dtype
     ispec = spec.inputs[0]
+    cplx = _is_complex(ispec.dtype)
     coords = jnp.asarray(coordinates).astype(cdt)
     cc = [coords[h] for h in range(len(ispec.axis))]
     spatial = tuple(ispec.shape[d] for d in ispec.axis)
     _, _, chan_shape = _split_axes(ispec)
     if chan_shape:
         out_ispec = dataclasses.replace(ispec, shape=ispec.out_shape)
-        dyt = _to_spatial_channels(jnp.asarray(dy), out_ispec).astype(cdt)
+        dyt = _to_spatial_channels(jnp.asarray(dy), out_ispec)
     else:
-        dyt = jnp.asarray(dy).astype(cdt).reshape(*spec.out_spatial, 1)
+        dyt = jnp.asarray(dy).reshape(*spec.out_spatial, 1)
+    dyt = _complex_to_channels(dyt).astype(cdt) if cplx else dyt.astype(cdt)
     dxt = _deform_one_linear_transpose(dyt, cc, ispec, spec, cdt)
+    if cplx:
+        dxt = _channels_to_complex(dxt)
     dx = cast_output(dxt, ispec.dtype)
     if chan_shape:
         in_ispec = dataclasses.replace(ispec, out_shape=ispec.shape)

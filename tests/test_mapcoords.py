@@ -571,3 +571,85 @@ def test_native_host_map_coordinates_gradient(rng):
                                                 mode='mirror',
                                                 X_shape=X.shape))
     np.testing.assert_allclose(dx, jx, rtol=1e-5, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# geometric_transform (scipy.ndimage.geometric_transform equivalent)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("order", [0, 1, 3])
+def test_geometric_transform_matches_scipy(rng, order):
+    """The same elementwise mapping arithmetic, applied per voxel by scipy
+    and to whole coordinate arrays here, must agree."""
+    X = rng.random((21, 17))
+    mapping = lambda c: (c[0] * 0.93 + 1.25, c[1] * 1.07 - 2.5)
+    got = np.asarray(ed.geometric_transform(X, mapping, order=order,
+                                            mode='mirror'))
+    want = scipy.ndimage.geometric_transform(X, lambda c: mapping(c),
+                                             order=order, mode='mirror')
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_geometric_transform_output_shape_and_extra_args(rng):
+    X = rng.random((15, 14, 6))
+    mapping = lambda c, sy, sx: (c[0] * sy, c[1] * sx, c[2] + 0.5)
+    got = np.asarray(ed.geometric_transform(
+        X, mapping, output_shape=(8, 9, 6), order=3, mode='constant',
+        cval=-1.0, extra_arguments=(1.3, 0.8)))
+    want = scipy.ndimage.geometric_transform(
+        X, mapping, output_shape=(8, 9, 6), order=3, mode='constant',
+        cval=-1.0, extra_arguments=(1.3, 0.8))
+    assert got.shape == (8, 9, 6)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_geometric_transform_nonlinear_mapping(rng):
+    X = rng.random((25, 25))
+    mapping = lambda c: (c[0] + 2.0 * np.sin(np.asarray(c[1]) * 0.3),
+                         c[1] + 1.5 * np.cos(np.asarray(c[0]) * 0.2))
+
+    def mapping_jnp(c):
+        return (c[0] + 2.0 * jnp.sin(c[1] * 0.3),
+                c[1] + 1.5 * jnp.cos(c[0] * 0.2))
+
+    got = np.asarray(ed.geometric_transform(X, mapping_jnp, order=3,
+                                            mode='mirror'))
+    want = scipy.ndimage.geometric_transform(X, mapping, order=3,
+                                             mode='mirror')
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_geometric_transform_numpy_api(rng):
+    """The host-mapping numpy wrapper agrees with the traced core path."""
+    from elasticdeform_tpu import api
+    X = rng.random((14, 16))
+    mapping = lambda c: (c[0] * 0.9 + 0.7, c[1] * 1.1 - 1.2)
+    got = api.geometric_transform(X, mapping, order=3, mode='wrap')
+    want = np.asarray(ed.geometric_transform(X, mapping, order=3,
+                                             mode='wrap'))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_geometric_transform_numpy_api_complex(rng):
+    from elasticdeform_tpu import api
+    X = (rng.random((12, 13)) + 1j * rng.random((12, 13)))
+    mapping = lambda c: (c[0] * 0.9 + 0.7, c[1] * 1.1 - 1.2)
+    got = api.geometric_transform(X, mapping, order=3, mode='constant',
+                                  cval=1 - 2j)
+    want = scipy.ndimage.geometric_transform(X, mapping, order=3,
+                                             mode='constant', cval=1 - 2j)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_geometric_transform_differentiable(rng):
+    """Gradients flow through X and through mapping parameters."""
+    X = jnp.asarray(rng.random((12, 12)), jnp.float64)
+
+    def loss(X, a):
+        y = ed.geometric_transform(
+            X, lambda c: (c[0] * a, c[1] + a), order=3, mode='mirror')
+        return jnp.sum(y ** 2)
+
+    g_x, g_a = jax.grad(loss, argnums=(0, 1))(X, jnp.float64(0.95))
+    assert np.isfinite(np.asarray(g_x)).all()
+    assert np.isfinite(float(g_a)) and abs(float(g_a)) > 0
