@@ -205,6 +205,16 @@ def deform_grid(X, displacement, order=3, mode='constant', cval=0.0,
     Same semantics as :func:`elasticdeform_tpu.deform_grid` but computed on
     the CPU in float64 with zero JAX involvement.
     """
+    from elasticdeform_tpu.api import _expand_complex_call, _is_complex_array
+    if any(_is_complex_array(x)
+           for x in (X if isinstance(X, list) else [X])):
+        # complex inputs expand into real/imag pairs sharing the
+        # deformation, exactly like the numpy API (the kernel is f64-only)
+        return _expand_complex_call(
+            deform_grid, X, (displacement,),
+            dict(order=order, mode=mode, cval=cval, crop=crop,
+                 prefilter=prefilter, axis=axis, affine=affine,
+                 rotate=rotate, zoom=zoom))
     lib = _lib()
     Xs = _n.normalize_inputs(X)
     axis_n, deform_shape = _n.normalize_axis_list(axis, Xs)
@@ -255,6 +265,15 @@ def deform_grid_gradient(dY, displacement, order=3, mode='constant',
                          cval=0.0, crop=None, prefilter=True, axis=None,
                          X_shape=None, affine=None, rotate=None, zoom=None):
     """Reference-compatible exact adjoint on the native host kernel."""
+    from elasticdeform_tpu.api import _expand_complex_call, _is_complex_array
+    if any(_is_complex_array(x)
+           for x in (dY if isinstance(dY, list) else [dY])):
+        return _expand_complex_call(
+            deform_grid_gradient, dY, (displacement,),
+            dict(order=order, mode=mode, cval=cval, crop=crop,
+                 prefilter=prefilter, axis=axis, X_shape=X_shape,
+                 affine=affine, rotate=rotate, zoom=zoom),
+            shape_key="X_shape")
     lib = _lib()
     dYs = _n.normalize_inputs(dY)
     if isinstance(X_shape, tuple):
@@ -380,8 +399,14 @@ def map_coordinates(X, coordinates, order=3, mode='constant', cval=0.0,
     has shape ``(naxis, *out_shape)``, any output rank when no channel
     axes are carried.
     """
-    lib = _lib()
     X = np.asarray(X)
+    if np.dtype(X.dtype).kind == "c":
+        cv = complex(cval)
+        parts = [map_coordinates(np.ascontiguousarray(p), coordinates,
+                                 order, mode, c, prefilter, axis)
+                 for p, c in ((X.real, cv.real), (X.imag, cv.imag))]
+        return (parts[0] + 1j * parts[1]).astype(X.dtype)
+    lib = _lib()
     axis_n, _ = _n.normalize_axis_list(axis, [X])
     ax = axis_n[0]
     naxis = len(ax)
@@ -432,6 +457,13 @@ def map_coordinates_gradient(dY, coordinates, order=3, mode='constant',
         raise ValueError("X_shape is required (the input shape cannot be "
                          "inferred from dY).")
     dY = np.asarray(dY)
+    if np.dtype(dY.dtype).kind == "c":
+        cv = complex(cval)
+        parts = [map_coordinates_gradient(
+            np.ascontiguousarray(p), coordinates, order, mode, c,
+            prefilter, axis, X_shape)
+            for p, c in ((dY.real, cv.real), (dY.imag, cv.imag))]
+        return (parts[0] + 1j * parts[1]).astype(dY.dtype)
 
     class _Shaped:
         def __init__(self, shape, dtype):

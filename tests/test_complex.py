@@ -259,6 +259,53 @@ def test_api_map_coordinates_complex():
     np.testing.assert_allclose(lhs, rhs, rtol=1e-9)
 
 
+def test_tf_shim_complex_roundtrip():
+    tf = pytest.importorskip("tensorflow")
+    import elasticdeform_tpu.tf as edtf
+    x_np = _cimg((11, 12), np.complex64)
+    d = RNG.standard_normal((2, 3, 3)) * 2
+    x = tf.constant(x_np)
+    with tf.GradientTape() as tape:
+        tape.watch(x)
+        y = edtf.deform_grid(x, tf.constant(d), order=3, mode="mirror")
+        loss = tf.reduce_sum(tf.math.real(y) + tf.math.imag(y))
+    want = np.asarray(ed.deform_grid(x_np, d, order=3, mode="mirror"))
+    np.testing.assert_allclose(y.numpy(), want, rtol=1e-6, atol=1e-6)
+    g = tape.gradient(loss, x)
+    assert g is not None and np.isfinite(g.numpy()).all()
+
+
+def test_native_host_complex():
+    from elasticdeform_tpu import native
+    if not native.available():
+        pytest.skip("native host kernel unavailable")
+    x = _cimg((13, 12))
+    d = RNG.standard_normal((2, 3, 3)) * 2
+    y = native.deform_grid(x, d, order=3, mode="constant", cval=1 + 2j)
+    want = np.asarray(ed.deform_grid(x, d, order=3, mode="constant",
+                                     cval=1 + 2j))
+    np.testing.assert_allclose(y, want, rtol=1e-10, atol=1e-10)
+    dy = _cimg(y.shape)
+    dx = native.deform_grid_gradient(dy, d, order=3, mode="constant",
+                                     cval=1 + 2j, X_shape=x.shape)
+    lhs = np.vdot(dy, y).real
+    # constant-mode cval contributes an affine offset; compare against
+    # the zero-cval linear part for the adjoint identity instead
+    y0 = native.deform_grid(x, d, order=3, mode="constant", cval=0.0)
+    lhs = np.vdot(dy, y0).real
+    rhs = np.vdot(dx, x).real
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
+    c = RNG.random((2, 6, 7)) * 10
+    ym = native.map_coordinates(x, c, order=3, mode="mirror")
+    ws = ndi.map_coordinates(x, c, order=3, mode="mirror")
+    np.testing.assert_allclose(ym, ws, rtol=1e-10, atol=1e-10)
+    dym = _cimg(ym.shape)
+    dxm = native.map_coordinates_gradient(dym, c, order=3, mode="mirror",
+                                          X_shape=x.shape)
+    np.testing.assert_allclose(np.vdot(dym, ym).real,
+                               np.vdot(dxm, x).real, rtol=1e-10)
+
+
 def test_torch_shim_complex_roundtrip():
     torch = pytest.importorskip("torch")
     import elasticdeform_tpu.torch as edt
