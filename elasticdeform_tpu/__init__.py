@@ -31,7 +31,8 @@ JAX-native functional API (traceable, differentiable):
 General resampler family (beyond the reference — scipy.ndimage parity):
     map_coordinates (+ _batch, _gradient), deform_field (+ _batch),
     affine_transform, shift, zoom, rotate, geometric_transform,
-    spline_filter, spline_filter1d
+    spline_filter, spline_filter1d; analytic grid regularizers
+    bending_energy / membrane_energy
 
 Multi-chip scale-out (elasticdeform_tpu.parallel):
     batched/sharded deformation, spatially-sharded volumes with halo
@@ -68,6 +69,10 @@ from elasticdeform_tpu.core import (
     deform_random,
     zoom,
 )
+from elasticdeform_tpu.ops.regularize import (
+    bending_energy,
+    membrane_energy,
+)
 
 __version__ = "0.1.0"
 
@@ -94,5 +99,7 @@ __all__ = [
     "random_displacement",
     "deform_random",
     "zoom",
+    "bending_energy",
+    "membrane_energy",
     "__version__",
 ]
