@@ -63,5 +63,44 @@ def main():
           f"(initial {float(jnp.mean((moving - fixed) ** 2)):.3e})")
 
 
+def grid_registration():
+    """Classic control-grid (FFD) registration: optimize the B-spline
+    displacement grid itself — gradients flow through ``deform``'s
+    displacement adjoint — with the ANALYTIC bending energy as the
+    smoothness penalty (``ed.bending_energy``: the exact integral of the
+    squared Hessian of the reconstructed field, a few grid-sized matmuls
+    instead of finite differences over a dense field)."""
+    rng = np.random.default_rng(1)
+    shape = (96, 96)
+    yy, xx = np.meshgrid(*[np.linspace(-3, 3, n) for n in shape],
+                         indexing='ij')
+    moving = jnp.asarray(
+        np.exp(-(yy ** 2 + xx ** 2)) + 0.5 * np.sin(2 * yy) * np.cos(xx),
+        jnp.float32)
+    true_grid = jnp.asarray(rng.standard_normal((2, 5, 5)) * 3, jnp.float32)
+    fixed = ed.deform(moving, true_grid, order=3, mode='mirror')
+
+    def loss_fn(grid):
+        warped = ed.deform(moving, grid, order=3, mode='mirror')
+        sim = jnp.mean((warped - fixed) ** 2)
+        return sim + 2e-7 * ed.bending_energy(grid, shape)
+
+    @jax.jit
+    def step(grid, vel):
+        loss, g = jax.value_and_grad(loss_fn)(grid)
+        vel = 0.9 * vel - 2000.0 * g
+        return grid + vel, vel, loss
+
+    grid = jnp.zeros_like(true_grid)
+    vel = jnp.zeros_like(grid)
+    for i in range(400):
+        grid, vel, loss = step(grid, vel)
+        if i % 100 == 0 or i == 399:
+            err = float(jnp.abs(grid - true_grid).mean())
+            print(f"[grid] iter {i:4d}  loss {float(loss):.3e}  "
+                  f"mean |grid - truth| {err:.3f} voxels")
+
+
 if __name__ == "__main__":
     main()
+    grid_registration()
