@@ -120,8 +120,11 @@ def _quad_form(c, mats):
     t = c
     for A in mats:
         # contract the leading axis; the result's new axis lands last, so
-        # after ndim steps the axes are back in the original order
-        t = jnp.tensordot(t, A, axes=[[0], [0]])
+        # after ndim steps the axes are back in the original order.
+        # HIGHEST: TPU matmuls default to bf16 operands, which would cost
+        # ~2^-8 on an exactness-contract energy
+        t = jnp.tensordot(t, A, axes=[[0], [0]],
+                          precision=jax.lax.Precision.HIGHEST)
     return jnp.sum(c * t)
 
 

@@ -221,6 +221,91 @@ def main():
           f"err {rel:.3e} (tol 1e-05)", flush=True)
     ok &= rel <= 1e-5
 
+    # complex inputs through the numpy API: the host-side real/imag
+    # expansion must be bitwise equal to separate real-path calls (the
+    # chip never executes a complex op), and the adjoint must satisfy the
+    # real inner-product identity
+    Xc = (rng.random((40, 44))
+          + 1j * rng.random((40, 44))).astype(np.complex64)
+    dc = rng.standard_normal((2, 3, 3)) * 5
+    yc = np.asarray(ed.deform_grid(Xc, dc, order=3, mode='constant',
+                                   cval=1 - 2j))
+    yr = np.asarray(ed.deform_grid(Xc.real.copy(), dc, order=3,
+                                   mode='constant', cval=1.0))
+    yi = np.asarray(ed.deform_grid(Xc.imag.copy(), dc, order=3,
+                                   mode='constant', cval=-2.0))
+    ok &= check("complex64 split-call identity (re)", yc.real, yr, 0)
+    ok &= check("complex64 split-call identity (im)", yc.imag, yi, 0)
+    y0 = np.asarray(ed.deform_grid(Xc, dc, order=3, mode='constant',
+                                   cval=0.0))
+    dyc = (rng.random(yc.shape)
+           + 1j * rng.random(yc.shape)).astype(np.complex64)
+    dxc = np.asarray(ed.deform_grid_gradient(
+        dyc, dc, order=3, mode='constant', cval=0.0, X_shape=Xc.shape))
+    lhs_c = np.vdot(dyc, y0).real
+    rhs_c = np.vdot(dxc, Xc).real
+    rel_c = abs(lhs_c - rhs_c) / max(1.0, abs(lhs_c))
+    status = "ok  " if rel_c <= 1e-4 else "FAIL"
+    print(f"{status} {'complex adjoint identity':44s} "
+          f"err {rel_c:.3e} (tol 1e-04)", flush=True)
+    ok &= rel_c <= 1e-4
+
+    # geometric_transform: the traced-mapping path must equal the same
+    # coordinates through map_coordinates, on the chip
+    mapping = lambda c: (c[0] * 0.9 + 1.0, c[1] * 1.05 - 2.0)
+    gg = np.asarray(jax.jit(lambda x: ed.geometric_transform(
+        x, mapping, order=3, mode='mirror'))(jnp.asarray(Xm)))
+    iy, ix = np.meshgrid(np.arange(Xm.shape[0], dtype=np.float32),
+                         np.arange(Xm.shape[1], dtype=np.float32),
+                         indexing='ij')
+    cexp = np.stack([iy * 0.9 + 1.0, ix * 1.05 - 2.0])
+    wg = np.asarray(ed.map_coordinates(jnp.asarray(Xm), jnp.asarray(cexp),
+                                       order=3, mode='mirror'))
+    ok &= check("geometric_transform == map_coordinates", gg, wg, 1e-6)
+
+    # analytic grid regularizers: chip f32 (HIGHEST-precision matmuls)
+    # vs the same closed form evaluated in host float64 — catches a bf16
+    # default sneaking into the quadratic-form contraction
+    from elasticdeform_tpu.ops import regularize as _reg
+    dreg = rng.standard_normal((3, 4, 5, 6)).astype(np.float32) * 3
+    shape_reg = (40, 50, 60)
+    be_tpu = float(jax.jit(lambda dd: ed.bending_energy(
+        dd, shape_reg))(jnp.asarray(dreg)))
+    me_tpu = float(jax.jit(lambda dd: ed.membrane_energy(
+        dd, shape_reg))(jnp.asarray(dreg)))
+
+    def _energy_host(terms):
+        c = np.asarray(dreg, np.float64)
+        for ax in range(1, c.ndim):
+            c = scipy.ndimage.spline_filter1d(c, order=3, axis=ax,
+                                              mode='mirror')
+        spac = [(shape_reg[k] - 1) / (dreg.shape[1 + k] - 1)
+                for k in range(3)]
+        vol = float(np.prod(spac))
+        total = 0.0
+        for orders in terms:
+            mats = [np.asarray(_reg._gram_matrices(dreg.shape[1 + k])
+                               [orders[k]]) for k in range(3)]
+            scale = vol / float(np.prod(
+                [spac[k] ** (2 * orders[k]) for k in range(3)]))
+            for h in range(3):
+                t = c[h]
+                for A in mats:
+                    t = np.tensordot(t, A, axes=[[0], [0]])
+                total += scale * float(np.sum(c[h] * t))
+        return total
+
+    be_host = _energy_host(_reg._terms_bending(3))
+    me_host = _energy_host(_reg._terms_membrane(3))
+    for name, tpu_v, host_v in (("bending_energy f32 vs host f64",
+                                 be_tpu, be_host),
+                                ("membrane_energy f32 vs host f64",
+                                 me_tpu, me_host)):
+        rel = abs(tpu_v - host_v) / max(1e-12, abs(host_v))
+        status = "ok  " if rel <= 1e-4 else "FAIL"
+        print(f"{status} {name:44s} err {rel:.3e} (tol 1e-04)", flush=True)
+        ok &= rel <= 1e-4
+
     print("PASS" if ok else "FAIL", flush=True)
     return 0 if ok else 1
 
