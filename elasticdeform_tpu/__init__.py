@@ -31,8 +31,9 @@ JAX-native functional API (traceable, differentiable):
 General resampler family (beyond the reference — scipy.ndimage parity):
     map_coordinates (+ _batch, _gradient), deform_field (+ _batch),
     affine_transform, shift, zoom, rotate, geometric_transform,
-    spline_filter, spline_filter1d; analytic grid regularizers
-    bending_energy / membrane_energy
+    spline_filter, spline_filter1d; field calculus
+    compose_displacement_fields / invert_displacement_field; analytic
+    grid regularizers bending_energy / membrane_energy
 
 Multi-chip scale-out (elasticdeform_tpu.parallel):
     batched/sharded deformation, spatially-sharded volumes with halo
@@ -50,6 +51,7 @@ from elasticdeform_tpu.api import (
 )
 from elasticdeform_tpu.core import (
     affine_transform,
+    compose_displacement_fields,
     deform,
     deform_batch,
     deform_batch_gradient,
@@ -58,6 +60,7 @@ from elasticdeform_tpu.core import (
     deform_gradient,
     displacement_field,
     geometric_transform,
+    invert_displacement_field,
     map_coordinates,
     map_coordinates_batch,
     map_coordinates_gradient,
@@ -89,6 +92,8 @@ __all__ = [
     "deform_gradient",
     "displacement_field",
     "geometric_transform",
+    "invert_displacement_field",
+    "compose_displacement_fields",
     "map_coordinates",
     "map_coordinates_batch",
     "map_coordinates_gradient",

@@ -658,6 +658,58 @@ def rotate(X, angle, axes=(1, 0), *, reshape=True, order=3,
                             strategy=strategy)
 
 
+def compose_displacement_fields(u, v, *, order=1, mode='nearest',
+                                strategy="auto"):
+    """Compose two dense displacement fields: the field ``w`` with
+    ``id + w = (id + u) ∘ (id + v)``, i.e.
+    ``w(x) = v(x) + u(x + v(x))``.
+
+    Both fields have shape ``(naxis, *shape)`` (the layout
+    :func:`displacement_field` produces). Warping with ``w`` equals
+    warping with ``v`` then ``u`` — the standard composition used to
+    accumulate registration updates without resampling the image twice.
+    ``u`` is interpolated at the displaced positions with the given
+    ``order``/``mode``. Traceable and differentiable w.r.t. both fields.
+    """
+    u = jnp.asarray(u)
+    v = jnp.asarray(v)
+    naxis = u.shape[0]
+    coords = _identity_plus_field(v, lead=0)
+    u_ch = jnp.moveaxis(u, 0, -1)                   # (*shape, naxis)
+    u_at = map_coordinates(u_ch, coords, order=order, mode=mode,
+                           axis=tuple(range(naxis)), strategy=strategy)
+    return v + jnp.moveaxis(u_at, -1, 0)
+
+
+def invert_displacement_field(field, *, iterations=16, order=1,
+                              mode='nearest', strategy="auto"):
+    """Approximate inverse of a dense displacement field by fixed-point
+    iteration: returns ``v`` with ``(id + u) ∘ (id + v) ≈ id`` (so
+    warping by ``field`` then by ``v`` returns every voxel to where it
+    started — the inverse warp registration pipelines need to map results
+    back; scipy has no equivalent, cf. SimpleITK's
+    ``InvertDisplacementField``).
+
+    Iterates ``v <- -u(x + v(x))``, which contracts when the deformation
+    is invertible (roughly ``max |grad u| < 1``); ``iterations`` trades
+    accuracy for time (each step is one resampling pass over the field's
+    ``naxis`` components as channels). Runs under ``jit`` via
+    ``lax.fori_loop``; differentiable through the unrolled fixed point.
+    """
+    u = jnp.asarray(field)
+    naxis = u.shape[0]
+    u_ch = jnp.moveaxis(u, 0, -1)                   # (*shape, naxis)
+
+    def body(_, v):
+        coords = _identity_plus_field(v, lead=0)
+        u_at = map_coordinates(u_ch, coords, order=order, mode=mode,
+                               axis=tuple(range(naxis)),
+                               strategy=strategy)
+        return -jnp.moveaxis(u_at, -1, 0)
+
+    return jax.lax.fori_loop(0, iterations, body, -u)
+
+
 def geometric_transform(X, mapping, output_shape=None, *, order=3,
                         mode='constant', cval=0.0, prefilter=True,
                         extra_arguments=(), extra_keywords=None,

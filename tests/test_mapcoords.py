@@ -653,3 +653,70 @@ def test_geometric_transform_differentiable(rng):
     g_x, g_a = jax.grad(loss, argnums=(0, 1))(X, jnp.float64(0.95))
     assert np.isfinite(np.asarray(g_x)).all()
     assert np.isfinite(float(g_a)) and abs(float(g_a)) > 0
+
+
+# ---------------------------------------------------------------------------
+# field calculus: compose / invert displacement fields
+# ---------------------------------------------------------------------------
+
+def _smooth_field(rng, shape, sigma=2.0):
+    grid = rng.standard_normal((len(shape),) + (4,) * len(shape)) * sigma
+    return ed.displacement_field(jnp.asarray(grid, jnp.float64), shape)
+
+
+def _smooth_image(shape):
+    mesh = np.meshgrid(*[np.linspace(-3, 3, n) for n in shape],
+                       indexing='ij')
+    out = np.zeros(shape)
+    for k, m in enumerate(mesh):
+        out = out + np.sin((k + 1) * m) + 0.3 * np.cos(2 * m)
+    return jnp.asarray(out)
+
+
+def test_compose_displacement_fields_matches_double_warp(rng):
+    shape = (40, 44)
+    u = _smooth_field(rng, shape, sigma=1.0)
+    v = _smooth_field(rng, shape, sigma=1.0)
+    X = _smooth_image(shape)
+    w = ed.compose_displacement_fields(u, v, order=3, mode='mirror')
+    once = np.asarray(ed.deform_field(X, w, order=3, mode='mirror'))
+    twice = np.asarray(ed.deform_field(
+        ed.deform_field(X, u, order=3, mode='mirror'), v, order=3,
+        mode='mirror'))
+    # the double warp interpolates the already-warped image, so the two
+    # agree up to the image's interpolation error — tight only for a
+    # smooth (band-limited) image, on the interior
+    inner = (slice(8, -8),) * 2
+    np.testing.assert_allclose(once[inner], twice[inner], atol=2e-3)
+
+
+def test_invert_displacement_field_fixed_point(rng):
+    shape = (48, 52)
+    u = _smooth_field(rng, shape, sigma=2.0)
+    v = ed.invert_displacement_field(u, iterations=60, order=1)
+    w = ed.compose_displacement_fields(u, v, order=1)
+    # convergence is geometric at the field's contraction rate
+    # (max |grad u| ~ 0.5 here)
+    assert float(jnp.abs(w).max()) < 1e-9
+
+
+def test_invert_displacement_field_image_roundtrip(rng):
+    shape = (48, 52)
+    u = _smooth_field(rng, shape, sigma=1.5)
+    v = ed.invert_displacement_field(u, iterations=30, order=3,
+                                     mode='mirror')
+    X = _smooth_image(shape)
+    Y = ed.deform_field(X, u, order=3, mode='mirror')
+    back = np.asarray(ed.deform_field(Y, v, order=3, mode='mirror'))
+    inner = (slice(5, -5),) * 2
+    np.testing.assert_allclose(back[inner], np.asarray(X)[inner],
+                               atol=5e-3)
+
+
+def test_invert_displacement_field_3d_jit(rng):
+    shape = (16, 18, 20)
+    u = _smooth_field(rng, shape, sigma=0.5)
+    v = jax.jit(lambda f: ed.invert_displacement_field(
+        f, iterations=40, order=1))(u)
+    w = ed.compose_displacement_fields(u, v, order=1)
+    assert float(jnp.abs(w).max()) < 1e-5
