@@ -326,3 +326,23 @@ def test_torch_shim_complex_roundtrip():
     # transpose, exactly what the shim passes through
     np.testing.assert_allclose(x.grad.numpy(), dx_want, rtol=1e-5,
                                atol=1e-5)
+
+
+def test_displacement_gradient_through_complex_input():
+    """The library's headline beyond-reference feature (gradients w.r.t.
+    the displacement grid) must flow through complex inputs: below the
+    real/imag channel split everything is real, so the d_cc branch works
+    unchanged."""
+    x = jnp.asarray(_cimg((14, 13)))
+    d = jnp.asarray(RNG.standard_normal((2, 3, 3)) * 2)
+
+    def loss(dd):
+        y = core.deform(x, dd, order=3, mode="mirror")
+        return jnp.sum(jnp.abs(y) ** 2)
+
+    g = jax.grad(loss)(d)
+    eps = 1e-6
+    for idx in [(1, 2, 0), (0, 0, 1)]:
+        fd = (loss(d.at[idx].add(eps))
+              - loss(d.at[idx].add(-eps))) / (2 * eps)
+        np.testing.assert_allclose(float(g[idx]), float(fd), rtol=1e-6)
