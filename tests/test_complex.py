@@ -346,3 +346,22 @@ def test_displacement_gradient_through_complex_input():
         fd = (loss(d.at[idx].add(eps))
               - loss(d.at[idx].add(-eps))) / (2 * eps)
         np.testing.assert_allclose(float(g[idx]), float(fd), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_sharded_deform_complex_mesh():
+    """Complex batches shard over a mesh like real ones: the in-pipeline
+    real/imag channel split is shard_map-transparent (all-static shapes,
+    no collectives)."""
+    from jax.sharding import Mesh
+    from elasticdeform_tpu import parallel
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    n = len(jax.devices())
+    mesh = Mesh(np.array(jax.devices()), ("batch",))
+    x = jnp.asarray(_cimg((n, 24, 20)))
+    D = jnp.asarray(RNG.standard_normal((n, 2, 3, 3)) * 2)
+    y = parallel.sharded_deform(mesh, x, D, order=3, mode="mirror")
+    w = core.deform_batch(x, D, order=3, mode="mirror")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(w), rtol=1e-12,
+                               atol=1e-12)
