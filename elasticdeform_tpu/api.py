@@ -97,7 +97,7 @@ def _is_complex_array(x) -> bool:
     return np.dtype(np.asarray(x).dtype).kind == "c"
 
 
-def _expand_param(p, positions, n, split=None):
+def _expand_param(p, positions, n, split=None, tuple_is_per_input=True):
     """Duplicate a per-input parameter at the complex positions.
 
     Non-list parameters broadcast to every input already, so they pass
@@ -106,6 +106,11 @@ def _expand_param(p, positions, n, split=None):
     carry different components. Lists of the wrong length also pass
     through so the inner call raises the reference's count error.
     """
+    if tuple_is_per_input and isinstance(p, tuple) and len(p) == n:
+        # tuples are accepted as per-input lists by the order/mode/cval
+        # normalizers; for axis a tuple means ONE shared selection and
+        # must pass through untouched
+        p = list(p)
     if not isinstance(p, list):
         if split is None:
             return p
@@ -144,9 +149,12 @@ def _expand_complex_call(fn, X, args, kwargs, shape_key=None):
         else:
             Xs2.append(x)
     kw = dict(kwargs)
-    for name in ("order", "mode", "axis"):
+    for name in ("order", "mode"):
         if name in kw:
             kw[name] = _expand_param(kw[name], positions, n)
+    if "axis" in kw:
+        kw["axis"] = _expand_param(kw["axis"], positions, n,
+                                   tuple_is_per_input=False)
     if "cval" in kw:
         kw["cval"] = _expand_param(
             kw["cval"], positions, n,

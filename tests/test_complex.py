@@ -365,3 +365,22 @@ def test_sharded_deform_complex_mesh():
     w = core.deform_batch(x, D, order=3, mode="mirror")
     np.testing.assert_allclose(np.asarray(y), np.asarray(w), rtol=1e-12,
                                atol=1e-12)
+
+
+def test_api_complex_tuple_params_and_shared_axis():
+    """Per-input tuples (order/mode/cval) and the SHARED-axis tuple both
+    survive the complex expansion: tuples are per-input for order/mode/
+    cval but one shared selection for axis."""
+    img = _cimg((10, 12, 2), np.complex64)     # trailing channel axis
+    seg = (RNG.random((10, 12)) * 3).astype(np.uint8)
+    d = RNG.standard_normal((2, 3, 3)) * 2
+    yi, ys = ed.deform_grid([img, seg], d, order=(3, 0),
+                            mode=("mirror", "nearest"), cval=(0.0, 0.0),
+                            axis=[(0, 1), (0, 1)])
+    assert yi.dtype == np.complex64 and ys.dtype == np.uint8
+    want = np.asarray(ed.deform_grid(img.real.copy(), d, order=3,
+                                     mode="mirror", axis=(0, 1)))
+    np.testing.assert_array_equal(np.asarray(yi).real, want)
+    # shared tuple axis with a single complex input
+    y1 = ed.deform_grid(img, d, order=3, mode="mirror", axis=(0, 1))
+    np.testing.assert_array_equal(np.asarray(y1).real, want)

@@ -349,16 +349,47 @@ def fuzz(n, seed=0):
         name = (f"fuzz{i:03d} {ndim}D o{order} {mode[:4]} pf{int(prefilter)}"
                 f" {'crop' if 'crop' in kw else '    '}"
                 f"{' rz' if 'rotate' in kw else ''}{' ch' if chan else ''}")
-        a = edc.deform_grid(X, d, **kw)
-        b = ed.deform_grid(X, d, **kw)
-        if order == 0:
-            frac = (np.abs(np.asarray(b) - a) > 1e-6).mean()
-            good = frac < 0.01
-            print(f"{'ok  ' if good else 'FAIL'} {name} frac {frac:.4f}",
-                  flush=True)
-            ok &= good
+        as_complex = order > 0 and rng.random() < 0.2
+        if as_complex:
+            # differential for the complex expansion: the reference C is
+            # real-only, so the oracle is the reference on each part with
+            # the matching cval component
+            Xi = rng.random(full)
+            cvi = float(rng.uniform(-1, 1)) if mode == "constant" else 0.0
+            Xc = (X + 1j * Xi).astype(np.complex64)
+            a = (edc.deform_grid(X, d, **kw)
+                 + 1j * edc.deform_grid(Xi, d, **{**kw, "cval": cvi}))
+            b = ed.deform_grid(Xc, d,
+                               **{**kw, "cval": complex(kw["cval"], cvi)})
+            ok &= check(name + " cx", b, a, 5e-5)
         else:
-            ok &= check(name, b, a, 5e-5)
+            a = edc.deform_grid(X, d, **kw)
+            b = ed.deform_grid(X, d, **kw)
+            if order == 0:
+                frac = (np.abs(np.asarray(b) - a) > 1e-6).mean()
+                good = frac < 0.01
+                print(f"{'ok  ' if good else 'FAIL'} {name} frac {frac:.4f}",
+                      flush=True)
+                ok &= good
+            else:
+                ok &= check(name, b, a, 5e-5)
+        if not chan and rng.random() < 0.15:
+            # map_coordinates differential vs scipy (modes whose
+            # semantics are unchanged in modern scipy)
+            import scipy.ndimage as _ndi
+            m2 = ["mirror", "wrap", "constant"][int(rng.integers(3))]
+            o2 = int(rng.integers(1, 6))
+            out_s = tuple(int(rng.integers(6, 20)) for _ in range(ndim))
+            X2 = rng.random(shape)
+            cmc = np.stack([rng.uniform(-3, s + 2, size=out_s)
+                            for s in shape])
+            amc = _ndi.map_coordinates(X2, cmc, order=o2, mode=m2,
+                                       cval=-0.5)
+            bmc = ed.map_coordinates(jnp.asarray(X2, jnp.float32),
+                                     jnp.asarray(cmc, jnp.float32),
+                                     order=o2, mode=m2, cval=-0.5)
+            ok &= check(f"fuzz{i:03d} mapc {ndim}D o{o2} {m2[:4]}",
+                        bmc, amc, 5e-5)
         if order > 0 and "rotate" not in kw and rng.random() < 0.35:
             out_shape = np.asarray(a).shape
             gy = rng.random(out_shape)
