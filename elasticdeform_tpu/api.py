@@ -149,6 +149,19 @@ def _expand_complex_call(fn, X, args, kwargs, shape_key=None):
         else:
             Xs2.append(x)
     kw = dict(kwargs)
+    # wrong-length per-input lists must raise the reference's count error
+    # HERE: after expansion the input count grows, so a wrong length
+    # could otherwise coincidentally match and be silently misassigned
+    for name, label in (("order", "order"), ("mode", "mode"),
+                        ("cval", "cval")):
+        p = kw.get(name)
+        if isinstance(p, (list, tuple)) and len(p) != n:
+            raise AssertionError(
+                f"Number of {label} parameters should be equal to "
+                "number of inputs.")
+    if isinstance(kw.get("axis"), list) and len(kw["axis"]) != n:
+        raise AssertionError(
+            "Number of axis tuples should match number of inputs.")
     for name in ("order", "mode"):
         if name in kw:
             kw[name] = _expand_param(kw[name], positions, n)

@@ -384,3 +384,15 @@ def test_api_complex_tuple_params_and_shared_axis():
     # shared tuple axis with a single complex input
     y1 = ed.deform_grid(img, d, order=3, mode="mirror", axis=(0, 1))
     np.testing.assert_array_equal(np.asarray(y1).real, want)
+
+
+def test_api_complex_wrong_length_lists_still_raise():
+    """The expansion must not let a wrong-length per-input list slip
+    through by coincidentally matching the expanded input count."""
+    img = _cimg((8, 9), np.complex64)
+    seg = RNG.random((8, 9))
+    d = RNG.standard_normal((2, 3, 3))
+    with pytest.raises(AssertionError, match="Number of order"):
+        ed.deform_grid([img, seg], d, order=[3, 0, 1])
+    with pytest.raises(AssertionError, match="Number of cval"):
+        ed.deform_grid([img, seg], d, mode="constant", cval=[0.0, 1.0, 2.0])

@@ -396,7 +396,11 @@ def fuzz(n, seed=0):
             gkw = {k: v for k, v in kw.items() if k not in ("rotate", "zoom")}
             ga = edc.deform_grid_gradient(gy, d, X_shape=full, **gkw)
             gb = ed.deform_grid_gradient(gy, d, X_shape=full, **gkw)
-            ok &= check(name + " grad", gb, ga, 5e-5)
+            # the transpose prefilter's per-axis gain (~6/24 at orders
+            # 3/4-5) amplifies f32 rounding; a 3D order-4 pf grad
+            # measures 1.3e-4 even on CPU f32 while f64 agrees at 3e-13
+            gtol = 5e-5 if order <= 3 or not prefilter else 5e-4
+            ok &= check(name + " grad", gb, ga, gtol)
     print("PASS" if ok else "FAIL", flush=True)
     return 0 if ok else 1
 
