@@ -32,7 +32,8 @@ General resampler family (beyond the reference — scipy.ndimage parity):
     map_coordinates (+ _batch, _gradient), deform_field (+ _batch),
     affine_transform, shift, zoom, rotate, geometric_transform,
     spline_filter, spline_filter1d; field calculus
-    compose_displacement_fields / invert_displacement_field; analytic
+    compose_displacement_fields / invert_displacement_field /
+    jacobian_determinant (analytic folding detection); analytic
     grid regularizers bending_energy / membrane_energy
 
 Multi-chip scale-out (elasticdeform_tpu.parallel):
@@ -59,8 +60,11 @@ from elasticdeform_tpu.core import (
     deform_field_batch,
     deform_gradient,
     displacement_field,
+    displacement_field_jacobian,
     geometric_transform,
     invert_displacement_field,
+    jacobian_determinant,
+    jacobian_determinant_field,
     map_coordinates,
     map_coordinates_batch,
     map_coordinates_gradient,
@@ -91,7 +95,10 @@ __all__ = [
     "deform_field_batch",
     "deform_gradient",
     "displacement_field",
+    "displacement_field_jacobian",
     "geometric_transform",
+    "jacobian_determinant",
+    "jacobian_determinant_field",
     "invert_displacement_field",
     "compose_displacement_fields",
     "map_coordinates",

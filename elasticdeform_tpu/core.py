@@ -362,6 +362,112 @@ def displacement_field(displacement, shape, *, crop=None):
                               offsets, dtype, prefilter_grid=True)
 
 
+def displacement_field_jacobian(displacement, shape, *, crop=None):
+    """Analytic spatial Jacobian of the dense field a control grid applies.
+
+    Returns ``J`` of shape ``(naxis, naxis, *out_shape)`` with
+    ``J[h, k, v] = ∂u_h/∂x_k`` at voxel ``v`` — computed exactly by
+    replacing the interpolation matrix along axis ``k`` with the
+    B-spline *derivative* matrix (same mirror fold, same grid prefilter;
+    chain-rule scaled to voxel coordinates), so no finite differences
+    and no extra resolution loss. Same conventions as
+    :func:`displacement_field`; a leading batch axis on ``displacement``
+    returns ``(B, naxis, naxis, *out_shape)``. Differentiable w.r.t. the
+    grid.
+    """
+    from elasticdeform_tpu.ops.displacement import displacement_matrix
+
+    shape = tuple(int(s) for s in shape)
+    naxis = len(shape)
+    displacement = jnp.asarray(displacement)
+    if displacement.ndim == naxis + 2:
+        return jax.vmap(lambda d: displacement_field_jacobian(
+            d, shape, crop=crop))(displacement)
+    if displacement.ndim != naxis + 1 or displacement.shape[0] != naxis:
+        raise ValueError(
+            "displacement should have shape (naxis, *points) for an "
+            f"naxis-dimensional shape; got {displacement.shape} for "
+            f"shape {shape}.")
+    fake = [_Shaped(shape, jnp.float32)]
+    (out_shape,), offsets = _n.compute_output_shapes(
+        fake, [tuple(range(naxis))], shape, crop)
+    out_spatial = tuple(out_shape[d] for d in range(naxis))
+    dtype = displacement.dtype if displacement.dtype in (
+        jnp.float32, jnp.float64) else (
+        jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    disp = displacement.astype(dtype)
+    rows = []
+    for k in range(naxis):
+        out = disp
+        for h in range(naxis):
+            W = displacement_matrix(out_spatial[h], out.shape[h + 1],
+                                    shape[h], offsets[h],
+                                    prefilter_grid=True,
+                                    derivative=1 if h == k else 0)
+            out = jnp.moveaxis(
+                jnp.tensordot(jnp.asarray(W, dtype=dtype), out,
+                              axes=[[1], [h + 1]],
+                              precision=jax.lax.Precision.HIGHEST),
+                0, h + 1)
+        rows.append(out)                       # (naxis, *out) = du_h/dx_k
+    return jnp.stack(rows, axis=1)             # (h, k, *out)
+
+
+def _det_small(M):
+    """det of (..., n, n) for n in {1, 2, 3} in closed form (TPU-simple);
+    jnp.linalg.det for larger n."""
+    n = M.shape[-1]
+    if n == 1:
+        return M[..., 0, 0]
+    if n == 2:
+        return (M[..., 0, 0] * M[..., 1, 1]
+                - M[..., 0, 1] * M[..., 1, 0])
+    if n == 3:
+        return (M[..., 0, 0] * (M[..., 1, 1] * M[..., 2, 2]
+                                - M[..., 1, 2] * M[..., 2, 1])
+                - M[..., 0, 1] * (M[..., 1, 0] * M[..., 2, 2]
+                                  - M[..., 1, 2] * M[..., 2, 0])
+                + M[..., 0, 2] * (M[..., 1, 0] * M[..., 2, 1]
+                                  - M[..., 1, 1] * M[..., 2, 0]))
+    return jnp.linalg.det(M)
+
+
+def jacobian_determinant(displacement, shape, *, crop=None):
+    """Jacobian determinant map ``det(I + ∂u/∂x)`` of the deformation a
+    control grid applies — the standard diagnostic for folding
+    (non-invertibility): the warp is locally orientation-preserving where
+    the determinant is positive; ``det <= 0`` marks folded voxels.
+
+    Exact (analytic Jacobian via :func:`displacement_field_jacobian`, no
+    finite differences); returns ``(*out_shape)`` (or ``(B, *out_shape)``
+    batched). Differentiable, so it can also serve as a penalty (e.g.
+    ``relu(-det)`` terms).
+    """
+    J = displacement_field_jacobian(displacement, shape, crop=crop)
+    naxis = len(shape)
+    # (..., h, k, *out) -> (..., *out, h, k), add I (the h/k axes sit
+    # naxis+2 / naxis+1 from the end regardless of a leading batch axis)
+    M = jnp.moveaxis(J, (J.ndim - naxis - 2, J.ndim - naxis - 1),
+                     (-2, -1)) + jnp.eye(naxis, dtype=J.dtype)
+    return _det_small(M)
+
+
+def jacobian_determinant_field(field):
+    """Jacobian determinant of a dense displacement field by central
+    differences (``jnp.gradient``) — the VoxelMorph-style diagnostic for
+    fields not parameterized by a control grid (network outputs,
+    composed/inverted fields). ``field``: ``(naxis, *shape)``; returns
+    ``(*shape)``. For grid-parameterized deformations prefer the exact
+    :func:`jacobian_determinant`.
+    """
+    field = jnp.asarray(field)
+    naxis = field.shape[0]
+    grads = [jnp.stack(jnp.gradient(field[h]), axis=-1)
+             for h in range(naxis)]                    # (*shape, k)
+    M = jnp.stack(grads, axis=-2)                      # (*shape, h, k)
+    return _det_small(M + jnp.eye(naxis, dtype=field.dtype))
+
+
 def _prepare_map(X, coordinates, order, mode, cval, prefilter, axis,
                  strategy, table_dtype):
     """Shared normalization for the map_coordinates entry points."""

@@ -103,3 +103,35 @@ def spline_weights_np(cc, order: int):
     """Numpy float64 twin of :func:`spline_weights` (stacked: (order+1, ...))."""
     cc = np.asarray(cc, dtype=np.float64)
     return np.stack(spline_weights(cc, order, xp=np))
+
+
+def bspline3_np(x, d: int = 0):
+    """Cubic B-spline basis value (``d=0``) or derivative (``d=1,2``) at
+    ``x``, vectorized numpy float64.
+
+    The evaluation form of the same polynomials as
+    :func:`spline_weights(order=3)` (reference deform.c:200-214): the
+    tap weight at column ``k`` for coordinate ``c`` is ``bspline3_np(c - k)``.
+    Used for host-side construction of derivative interpolation matrices
+    (ops/displacement.py) and the analytic regularization Gram matrices
+    (ops/regularize.py).
+    """
+    ax = np.abs(np.asarray(x, dtype=np.float64))
+    s = np.sign(x)
+    inner = ax <= 1.0
+    outer = (ax > 1.0) & (ax < 2.0)
+    out = np.zeros_like(ax)
+    if d == 0:
+        out[inner] = (4.0 - 6.0 * ax[inner] ** 2
+                      + 3.0 * ax[inner] ** 3) / 6.0
+        out[outer] = (2.0 - ax[outer]) ** 3 / 6.0
+    elif d == 1:
+        out[inner] = s[inner] * (-12.0 * ax[inner]
+                                 + 9.0 * ax[inner] ** 2) / 6.0
+        out[outer] = -s[outer] * (2.0 - ax[outer]) ** 2 / 2.0
+    elif d == 2:
+        out[inner] = 3.0 * ax[inner] - 2.0
+        out[outer] = 2.0 - ax[outer]
+    else:
+        raise ValueError("d must be 0, 1 or 2")
+    return out

@@ -30,7 +30,8 @@ _DORDER = 3  # displacement spline order, hardcoded as in reference deform.c:375
 
 @functools.lru_cache(maxsize=None)
 def displacement_matrix(odim: int, ncp: int, idim: int, offset: int,
-                        prefilter_grid: bool = False) -> np.ndarray:
+                        prefilter_grid: bool = False,
+                        derivative: int = 0) -> np.ndarray:
     """Interpolation matrix ``W (odim, ncp)``: ``dense = W @ coeffs``.
 
     Row ``j`` holds the order-3 spline weights of output position ``j`` (plus
@@ -41,13 +42,25 @@ def displacement_matrix(odim: int, ncp: int, idim: int, offset: int,
     (reference deform_grid.py:165-169) is composed into ``W`` on the host
     in float64 (``W @ F``), so the caller passes the RAW grid and one
     matmul per axis replaces prefilter + interpolation.
+
+    ``derivative`` (0-2) builds the matrix of the field's ``derivative``-th
+    spatial derivative instead: the rows hold ``beta3^(d)`` tap values
+    scaled by ``((ncp-1)/(idim-1))**d`` (the chain-rule factor of the
+    control-coordinate map) — the analytic spatial Jacobian/Hessian of
+    the reconstruction, exact including the mirror coefficient fold.
     """
     if idim <= 1:
         raise ValueError("deformed axes must have at least 2 elements")
     jj = np.arange(odim, dtype=np.float64)
     cp = (ncp - 1) * (jj + offset) / (idim - 1)
     start = filter_start(cp, _DORDER, xp=np).astype(np.int64)
-    weights = spline_weights(cp, _DORDER, xp=np)  # list of 4 arrays (odim,)
+    if derivative == 0:
+        weights = spline_weights(cp, _DORDER, xp=np)  # 4 arrays (odim,)
+    else:
+        from elasticdeform_tpu.ops.bspline import bspline3_np
+        scale = ((ncp - 1) / (idim - 1)) ** derivative
+        weights = [bspline3_np(cp - (start + tap), derivative) * scale
+                   for tap in range(_DORDER + 1)]
     W = np.zeros((odim, ncp), dtype=np.float64)
     rows = np.arange(odim)
     for tap, w in enumerate(weights):

@@ -35,31 +35,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _b3d(x, d):
-    """d-th derivative (d in {0,1,2}) of the cubic B-spline, vectorized.
-
-    beta3(x) = (4 - 6x^2 + 3|x|^3)/6 for |x|<=1, (2-|x|)^3/6 for 1<|x|<=2,
-    0 outside (reference deform.c:160-268 uses the same polynomials via
-    the shifted evaluation form).
-    """
-    ax = np.abs(x)
-    s = np.sign(x)
-    inner = ax <= 1.0
-    outer = (ax > 1.0) & (ax < 2.0)
-    out = np.zeros_like(np.asarray(x, dtype=np.float64))
-    if d == 0:
-        out[inner] = (4.0 - 6.0 * ax[inner] ** 2 + 3.0 * ax[inner] ** 3) / 6.0
-        out[outer] = (2.0 - ax[outer]) ** 3 / 6.0
-    elif d == 1:
-        out[inner] = s[inner] * (-12.0 * ax[inner]
-                                 + 9.0 * ax[inner] ** 2) / 6.0
-        out[outer] = -s[outer] * (2.0 - ax[outer]) ** 2 / 2.0
-    elif d == 2:
-        out[inner] = 3.0 * ax[inner] - 2.0
-        out[outer] = 2.0 - ax[outer]
-    else:
-        raise ValueError("d must be 0, 1 or 2")
-    return out
+from elasticdeform_tpu.ops.bspline import bspline3_np as _b3d  # noqa: E402
 
 
 def _reflect_index(j: int, p: int) -> int:
