@@ -297,6 +297,30 @@ def main():
 
     be_host = _energy_host(_reg._terms_bending(3))
     me_host = _energy_host(_reg._terms_membrane(3))
+
+    # analytic Jacobian determinant: chip f32 (derivative interpolation
+    # matrices, HIGHEST matmuls) vs the same construction in host f64
+    from elasticdeform_tpu.ops.displacement import displacement_matrix
+    djac = rng.standard_normal((2, 4, 5)).astype(np.float32) * 4
+    shape_j = (40, 44)
+    det_tpu = np.asarray(jax.jit(lambda dd: ed.jacobian_determinant(
+        dd, shape_j))(jnp.asarray(djac)))
+    Jh = np.zeros((2, 2) + shape_j)
+    for k in range(2):
+        for h in range(2):
+            out = np.asarray(djac[h], np.float64)
+            for ax in range(2):
+                W = displacement_matrix(shape_j[ax], out.shape[ax],
+                                        shape_j[ax], 0, True,
+                                        derivative=1 if ax == k else 0)
+                out = np.moveaxis(
+                    np.tensordot(W, out, axes=[[1], [ax]]), 0, ax)
+            Jh[h, k] = out
+    M = np.moveaxis(Jh, (0, 1), (-2, -1)) + np.eye(2)
+    det_host = (M[..., 0, 0] * M[..., 1, 1]
+                - M[..., 0, 1] * M[..., 1, 0])
+    ok &= check("jacobian_determinant f32 vs host f64", det_tpu, det_host,
+                1e-4)
     for name, tpu_v, host_v in (("bending_energy f32 vs host f64",
                                  be_tpu, be_host),
                                 ("membrane_energy f32 vs host f64",
