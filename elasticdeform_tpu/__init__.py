@@ -33,8 +33,10 @@ General resampler family (beyond the reference — scipy.ndimage parity):
     affine_transform, shift, zoom, rotate, geometric_transform,
     spline_filter, spline_filter1d; field calculus
     compose_displacement_fields / invert_displacement_field /
-    jacobian_determinant (analytic folding detection); analytic
-    grid regularizers bending_energy / membrane_energy
+    integrate_velocity_field (diffeomorphic scaling-and-squaring) /
+    jacobian_determinant (analytic folding detection); exact
+    multiresolution refine_displacement_grid; analytic grid
+    regularizers bending_energy / membrane_energy
 
 Multi-chip scale-out (elasticdeform_tpu.parallel):
     batched/sharded deformation, spatially-sharded volumes with halo
@@ -62,12 +64,14 @@ from elasticdeform_tpu.core import (
     displacement_field,
     displacement_field_jacobian,
     geometric_transform,
+    integrate_velocity_field,
     invert_displacement_field,
     jacobian_determinant,
     jacobian_determinant_field,
     map_coordinates,
     map_coordinates_batch,
     map_coordinates_gradient,
+    refine_displacement_grid,
     rotate,
     shift,
     spline_filter,
@@ -99,8 +103,10 @@ __all__ = [
     "geometric_transform",
     "jacobian_determinant",
     "jacobian_determinant_field",
+    "integrate_velocity_field",
     "invert_displacement_field",
     "compose_displacement_fields",
+    "refine_displacement_grid",
     "map_coordinates",
     "map_coordinates_batch",
     "map_coordinates_gradient",

@@ -816,6 +816,103 @@ def invert_displacement_field(field, *, iterations=16, order=1,
     return jax.lax.fori_loop(0, iterations, body, -u)
 
 
+def integrate_velocity_field(velocity, *, steps=7, order=1,
+                             mode='nearest', strategy="auto"):
+    """Exponentiate a stationary velocity field by scaling-and-squaring:
+    returns the displacement field ``u`` with ``id + u = exp(v)``, the
+    time-1 flow of ``dx/dt = v(x)``.
+
+    Scaling-and-squaring (Arsigny et al., MICCAI 2006; the SVF/
+    diffeomorphic-demons and VoxelMorph-diffeo parameterization; cf.
+    ITK's ``ExponentialDisplacementFieldImageFilter`` — scipy has no
+    equivalent): scale ``v / 2**steps``, then square ``steps`` times via
+    :func:`compose_displacement_fields`, so the cost is ``steps``
+    composition passes instead of ``2**steps`` Euler steps. For any
+    smooth ``v`` the result is a *diffeomorphic* warp (positive Jacobian
+    determinant) even where warping by ``v`` directly would fold, and
+    ``integrate_velocity_field(-v)`` is its inverse — the standard way
+    to get guaranteed-invertible deformations from an unconstrained
+    (e.g. network-predicted) field.
+
+    ``velocity``: ``(naxis, *shape)`` (the :func:`displacement_field`
+    layout; ``jax.vmap`` for batches — a leading batch axis would be
+    ambiguous with a higher-rank field). ``order``/``mode`` control the
+    interpolation of each squaring step (linear/'nearest' is the
+    ITK/VoxelMorph-standard default; order 3 + 'mirror' is more
+    accurate for smooth fields). Runs under ``jit`` via
+    ``lax.fori_loop``; differentiable w.r.t. ``velocity`` through the
+    unrolled squarings.
+    """
+    v = jnp.asarray(velocity)
+    if v.ndim != v.shape[0] + 1:
+        raise ValueError(
+            "velocity should have shape (naxis, *shape) (use jax.vmap "
+            f"for batches); got {v.shape}.")
+    steps = int(steps)
+    if steps < 0:
+        raise ValueError("steps should be >= 0")
+    u0 = v / (2.0 ** steps)
+
+    def body(_, u):
+        return compose_displacement_fields(u, u, order=order, mode=mode,
+                                           strategy=strategy)
+
+    return jax.lax.fori_loop(0, steps, body, u0)
+
+
+def refine_displacement_grid(displacement, factor=2):
+    """Refine a control-point grid to a finer grid that applies the
+    *identical* deformation — exact B-spline subdivision for
+    coarse-to-fine (multiresolution) registration.
+
+    The dense field a grid applies interpolates the control points over
+    the full image extent (reference deform.c:643), so a grid with
+    ``factor * (points - 1) + 1`` points whose values are the original
+    field sampled at the new control positions reconstructs the *same*
+    spline: the coarse interpolant lies in the fine spline space and the
+    mirror-boundary prefilter (reference deform_grid.py:165-169) is
+    exact on it. ``displacement_field(refine_displacement_grid(d), S)``
+    equals ``displacement_field(d, S)`` to machine precision for every
+    output shape ``S`` (pinned by tests/test_mapcoords.py), and
+    ``deform(X, refine_displacement_grid(d)) == deform(X, d)``.
+
+    This is the standard multiresolution FFD move (optimize a coarse
+    grid, refine exactly, keep optimizing finer detail — cf. Rueckert
+    et al. 1999): the refinement is linear and differentiable, so
+    gradients prolong back to the coarse grid automatically under
+    autodiff.
+
+    ``displacement``: ``(naxis, *points)`` with every ``points >= 2``
+    (``jax.vmap`` for batches — a leading batch axis would be ambiguous
+    with a higher-rank grid); ``factor``: int >= 1 or a per-axis tuple.
+    Returns ``(naxis, *(factor*(points-1)+1))``.
+    """
+    d = jnp.asarray(displacement)
+    if d.ndim != d.shape[0] + 1:
+        raise ValueError(
+            "displacement should have shape (naxis, *points) (use "
+            f"jax.vmap for batches); got {d.shape}.")
+    naxis = d.shape[0]
+    if isinstance(factor, (tuple, list)):
+        factors = tuple(int(f) for f in factor)
+    else:
+        factors = (int(factor),) * naxis
+    if len(factors) != naxis:
+        raise ValueError(
+            f"factor should be an int or a {naxis}-tuple; got {factor}.")
+    if any(f < 1 for f in factors):
+        raise ValueError("factor should be >= 1")
+    if any(p < 2 for p in d.shape[1:]):
+        raise ValueError("every grid axis needs >= 2 points")
+    new_points = tuple(f * (p - 1) + 1
+                       for f, p in zip(factors, d.shape[1:]))
+    # the field evaluated at the new control positions IS the refined
+    # grid: displacement_field maps control points over
+    # linspace(0, points-1, S), so S = new_points lands them at
+    # j / factor — subdivision by sampling, exact for splines
+    return displacement_field(d, new_points)
+
+
 def geometric_transform(X, mapping, output_shape=None, *, order=3,
                         mode='constant', cval=0.0, prefilter=True,
                         extra_arguments=(), extra_keywords=None,

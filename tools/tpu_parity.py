@@ -330,6 +330,38 @@ def main():
         print(f"{status} {name:44s} err {rel:.3e} (tol 1e-04)", flush=True)
         ok &= rel <= 1e-4
 
+    # exact multiresolution refinement: the refined grid must apply the
+    # IDENTICAL deformation on chip (both calls f32, whole pipeline)
+    Xr = rng.random((96, 112)).astype(np.float32)
+    dr = (rng.standard_normal((2, 4, 5)) * 6).astype(np.float32)
+    y_c = np.asarray(ed.deform(jnp.asarray(Xr), jnp.asarray(dr),
+                               order=3, mode='mirror'))
+    y_r = np.asarray(ed.deform(
+        jnp.asarray(Xr),
+        ed.refine_displacement_grid(jnp.asarray(dr), factor=2),
+        order=3, mode='mirror'))
+    ok &= check("refine_displacement_grid deform identity", y_r, y_c, 5e-5)
+
+    # velocity-field exponential: chip f32 scaling-and-squaring vs an
+    # independent scipy f64 host oracle of the same recursion
+    import scipy.ndimage as ndi
+    gv = (rng.standard_normal((2, 4, 4)) * 3).astype(np.float32)
+    shape_v = (48, 52)
+    v_chip = ed.displacement_field(jnp.asarray(gv), shape_v)
+    u_chip = np.asarray(jax.jit(lambda vv: ed.integrate_velocity_field(
+        vv, steps=6, order=3, mode='mirror'))(v_chip))
+    v_host = np.asarray(v_chip, np.float64)
+    idg = np.indices(shape_v, dtype=np.float64)
+    u_host = v_host / 2.0 ** 6
+    for _ in range(6):
+        coords = idg + u_host
+        u_host = u_host + np.stack([
+            ndi.map_coordinates(u_host[h], coords, order=3, mode='mirror')
+            for h in range(2)])
+    inner = (slice(None), slice(4, -4), slice(4, -4))
+    ok &= check("integrate_velocity_field f32 vs scipy f64",
+                u_chip[inner], u_host[inner], 5e-4)
+
     print("PASS" if ok else "FAIL", flush=True)
     return 0 if ok else 1
 
