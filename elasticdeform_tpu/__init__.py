@@ -31,7 +31,7 @@ JAX-native functional API (traceable, differentiable):
 General resampler family (beyond the reference — scipy.ndimage parity):
     map_coordinates (+ _batch, _gradient), deform_field (+ _batch),
     affine_transform, shift, zoom, rotate, geometric_transform,
-    spline_filter, spline_filter1d; field calculus
+    spline_filter, spline_filter1d, gaussian_filter(1d); field calculus
     compose_displacement_fields / invert_displacement_field /
     integrate_velocity_field (diffeomorphic scaling-and-squaring) /
     jacobian_determinant (analytic folding detection); exact
@@ -61,8 +61,13 @@ from elasticdeform_tpu.core import (
     deform_field,
     deform_field_batch,
     deform_gradient,
+    deform_random_diffeo,
     displacement_field,
     displacement_field_jacobian,
+    gaussian_filter,
+    gaussian_filter1d,
+    gaussian_gradient_magnitude,
+    gaussian_laplace,
     geometric_transform,
     integrate_velocity_field,
     invert_displacement_field,
@@ -98,8 +103,13 @@ __all__ = [
     "deform_field",
     "deform_field_batch",
     "deform_gradient",
+    "deform_random_diffeo",
     "displacement_field",
     "displacement_field_jacobian",
+    "gaussian_filter",
+    "gaussian_filter1d",
+    "gaussian_gradient_magnitude",
+    "gaussian_laplace",
     "geometric_transform",
     "jacobian_determinant",
     "jacobian_determinant_field",

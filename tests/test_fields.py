@@ -245,3 +245,82 @@ def test_exp_validation():
         ed.integrate_velocity_field(jnp.zeros((3, 4, 5)))
     with pytest.raises(ValueError, match="steps"):
         ed.integrate_velocity_field(jnp.zeros((2, 4, 5)), steps=-1)
+
+
+# ---------------------------------------------------------------------------
+# deform_random_diffeo
+
+
+def test_random_diffeo_matches_manual_pipeline(rng):
+    # same key => same grid => result equals the explicit composition
+    key = jax.random.PRNGKey(7)
+    X = _smooth_image((30, 34))
+    got = ed.deform_random_diffeo(key, X, sigma=6.0, points=4, steps=6,
+                                  order=3, mode='mirror')
+    grid = ed.random_displacement(key, (4, 4), 6.0, dtype=jnp.float64)
+    v = ed.displacement_field(grid, (30, 34))
+    u = ed.integrate_velocity_field(v, steps=6, order=1, mode='nearest')
+    want = ed.deform_field(X, u, order=3, mode='mirror')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_random_diffeo_never_folds_where_raw_would(rng):
+    # sigma large enough that deform_random's raw warp folds; the diffeo
+    # variant's warp must keep positive Jacobian determinant
+    key = jax.random.PRNGKey(3)
+    shape = (48, 52)
+    grid = ed.random_displacement(key, (4, 4), 14.0, dtype=jnp.float64)
+    v = ed.displacement_field(grid, shape)
+    assert float(ed.jacobian_determinant_field(v).min()) < 0.0
+    u = ed.integrate_velocity_field(v, steps=7, order=1, mode='nearest')
+    det = ed.jacobian_determinant_field(u)
+    assert float(det[8:-8, 8:-8].min()) > 0.0
+
+
+def test_random_diffeo_multi_input_and_per_input_params(rng):
+    key = jax.random.PRNGKey(11)
+    X = np.asarray(_smooth_image((20, 22)))
+    labels = (rng.random((20, 22)) * 5).astype(np.int32)
+    out = ed.deform_random_diffeo(key, [jnp.asarray(X), jnp.asarray(labels)],
+                                  sigma=3.0, points=3,
+                                  order=[3, 0], mode=['mirror', 'nearest'])
+    assert isinstance(out, list) and len(out) == 2
+    assert out[1].dtype == jnp.int32
+    # label image keeps its value set (order 0 = nearest lookup)
+    assert set(np.unique(np.asarray(out[1]))) <= set(np.unique(labels))
+    # matches deforming each input separately with the shared warp
+    solo = ed.deform_random_diffeo(key, jnp.asarray(X), sigma=3.0, points=3,
+                                   order=3, mode='mirror')
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(solo),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_random_diffeo_inverse_key_roundtrip(rng):
+    # exp(-v) undoes exp(v): recompute the grid from the key and map back
+    key = jax.random.PRNGKey(21)
+    shape = (40, 44)
+    X = _smooth_image(shape)
+    Y = ed.deform_random_diffeo(key, X, sigma=1.5, points=4, steps=7,
+                                integration_order=3,
+                                integration_mode='mirror',
+                                order=3, mode='mirror')
+    grid = ed.random_displacement(key, (4, 4), 1.5, dtype=jnp.float64)
+    v = ed.displacement_field(grid, shape)
+    bwd = ed.integrate_velocity_field(-v, steps=7, order=3, mode='mirror')
+    back = np.asarray(ed.deform_field(Y, bwd, order=3, mode='mirror'))
+    inner = (slice(6, -6),) * 2
+    np.testing.assert_allclose(back[inner], np.asarray(X)[inner], atol=5e-3)
+
+
+def test_random_diffeo_jit_vmap_over_keys(rng):
+    X = _smooth_image((18, 20))
+    f = jax.jit(lambda k: ed.deform_random_diffeo(k, X, sigma=2.5, points=3,
+                                                  steps=5, mode='mirror'))
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    batched = jax.vmap(f)(keys)
+    single = f(keys[1])
+    np.testing.assert_allclose(np.asarray(batched[1]), np.asarray(single),
+                               rtol=1e-5, atol=1e-5)
+    # different keys give different warps
+    assert not np.allclose(np.asarray(batched[0]), np.asarray(batched[2]))

@@ -362,6 +362,41 @@ def main():
     ok &= check("integrate_velocity_field f32 vs scipy f64",
                 u_chip[inner], u_host[inner], 5e-4)
 
+    # Gaussian filter family: chip f32 HIGHEST matmuls vs scipy f64
+    xg = rng.random((64, 96)).astype(np.float32)
+    for mode in ("reflect", "mirror", "nearest", "wrap", "constant"):
+        got = np.asarray(jax.jit(lambda a: ed.gaussian_filter1d(
+            a, 2.3, axis=1, mode=mode, cval=0.7))(jnp.asarray(xg)))
+        want = ndi.gaussian_filter1d(np.asarray(xg, np.float64), 2.3,
+                                     axis=1, mode=mode, cval=0.7)
+        ok &= check(f"gaussian_filter1d {mode} f32 vs scipy f64", got,
+                    want, 2e-5)
+    got = np.asarray(jax.jit(lambda a: ed.gaussian_filter(
+        a, (1.5, 2.5), order=(0, 1)))(jnp.asarray(xg)))
+    want = ndi.gaussian_filter(np.asarray(xg, np.float64), (1.5, 2.5),
+                               order=(0, 1))
+    ok &= check("gaussian_filter order(0,1) f32 vs scipy", got, want, 2e-5)
+    got = np.asarray(jax.jit(lambda a: ed.gaussian_laplace(
+        a, 1.6))(jnp.asarray(xg)))
+    want = ndi.gaussian_laplace(np.asarray(xg, np.float64), 1.6)
+    ok &= check("gaussian_laplace f32 vs scipy f64", got, want, 2e-5)
+    got = np.asarray(jax.jit(lambda a: ed.gaussian_gradient_magnitude(
+        a, 1.2))(jnp.asarray(xg)))
+    want = ndi.gaussian_gradient_magnitude(np.asarray(xg, np.float64), 1.2)
+    ok &= check("gaussian_gradient_magnitude f32 vs scipy", got, want, 2e-5)
+
+    # keyed diffeomorphic augmentation: jitted chip call == the explicit
+    # grid -> field -> exponential -> warp composition on chip
+    key = jax.random.PRNGKey(7)
+    Xd = jnp.asarray(rng.random((48, 52)).astype(np.float32))
+    got = np.asarray(jax.jit(lambda k: ed.deform_random_diffeo(
+        k, Xd, sigma=4.0, points=4, steps=6, mode='mirror'))(key))
+    gd = ed.random_displacement(key, (4, 4), 4.0)
+    vd = ed.displacement_field(gd, (48, 52))
+    ud = ed.integrate_velocity_field(vd, steps=6, order=1, mode='nearest')
+    want = np.asarray(ed.deform_field(Xd, ud, order=3, mode='mirror'))
+    ok &= check("deform_random_diffeo == manual pipeline", got, want, 3e-5)
+
     print("PASS" if ok else "FAIL", flush=True)
     return 0 if ok else 1
 
