@@ -1096,6 +1096,441 @@ def gaussian_gradient_magnitude(X, sigma, *, mode='reflect', cval=0.0,
     return jnp.sqrt(acc)
 
 
+def correlate1d(X, weights, axis=-1, *, mode='reflect', cval=0.0,
+                origin=0):
+    """1-D correlation with an arbitrary tap sequence
+    (``scipy.ndimage.correlate1d`` equivalent): tap
+    ``len(weights) // 2 + origin`` aligns with the output position.
+    Like the Gaussian family, runs as one precomputed HIGHEST-precision
+    banded matmul along the axis (boundary fold included), so any
+    user-supplied separable kernel is MXU-resident, traceable, and
+    exactly differentiable by linearity.
+    """
+    from elasticdeform_tpu.ops.filters import apply_correlate1d
+    return apply_correlate1d(jnp.asarray(X), weights, axis, mode, cval,
+                             origin)
+
+
+def convolve1d(X, weights, axis=-1, *, mode='reflect', cval=0.0,
+               origin=0):
+    """1-D convolution (``scipy.ndimage.convolve1d`` equivalent):
+    correlation with the reversed taps and mirrored origin."""
+    import numpy as _np
+    weights = _np.asarray(weights, dtype=_np.float64)[::-1]
+    origin = -int(origin)
+    if not len(weights) & 1:
+        origin -= 1
+    return correlate1d(X, weights, axis, mode=mode, cval=cval,
+                       origin=origin)
+
+
+def uniform_filter1d(X, size, axis=-1, *, mode='reflect', cval=0.0,
+                     origin=0):
+    """Uniform (box) filter along one axis
+    (``scipy.ndimage.uniform_filter1d`` equivalent)."""
+    size = int(size)
+    if size < 1:
+        raise ValueError("size must be at least 1")
+    import numpy as _np
+    return correlate1d(X, _np.full(size, 1.0 / size), axis, mode=mode,
+                       cval=cval, origin=origin)
+
+
+def uniform_filter(X, size=3, *, mode='reflect', cval=0.0, origin=0,
+                   axes=None):
+    """Multi-axis uniform filter (``scipy.ndimage.uniform_filter``
+    equivalent); ``size``/``origin`` may be per-axis sequences."""
+    X = jnp.asarray(X)
+    if axes is None:
+        axes = tuple(range(X.ndim))
+    elif isinstance(axes, int):
+        axes = (axes,)
+    axes = tuple(a % X.ndim for a in axes)
+
+    def per_axis(p, name):
+        if isinstance(p, (list, tuple)):
+            if len(p) != len(axes):
+                raise ValueError(
+                    f"{name} should be a scalar or have one entry per "
+                    f"filtered axis ({len(axes)}); got {len(p)}.")
+            return list(p)
+        return [p] * len(axes)
+
+    sizes = per_axis(size, "size")
+    origins = per_axis(origin, "origin")
+    for ax, s, o in zip(axes, sizes, origins):
+        if int(s) == 1 and int(o) == 0:
+            continue
+        X = uniform_filter1d(X, s, ax, mode=mode, cval=cval, origin=o)
+    return X
+
+
+def _derivative_smooth(X, axis, deriv_taps, smooth_taps, mode, cval,
+                       axes=None):
+    X = jnp.asarray(X)
+    if axes is None:
+        axes = tuple(range(X.ndim))
+    axes = tuple(a % X.ndim for a in axes)
+    axis = axis % X.ndim
+    out = correlate1d(X, deriv_taps, axis, mode=mode, cval=cval)
+    for ax in axes:
+        if ax != axis:
+            out = correlate1d(out, smooth_taps, ax, mode=mode, cval=cval)
+    return out
+
+
+def sobel(X, axis=-1, *, mode='reflect', cval=0.0, axes=None):
+    """Sobel edge filter (``scipy.ndimage.sobel`` equivalent):
+    ``[-1, 0, 1]`` derivative along ``axis``, ``[1, 2, 1]`` smoothing
+    along the remaining ``axes``."""
+    return _derivative_smooth(X, axis, [-1.0, 0.0, 1.0], [1.0, 2.0, 1.0],
+                              mode, cval, axes)
+
+
+def prewitt(X, axis=-1, *, mode='reflect', cval=0.0, axes=None):
+    """Prewitt edge filter (``scipy.ndimage.prewitt`` equivalent):
+    ``[-1, 0, 1]`` derivative along ``axis``, ``[1, 1, 1]`` smoothing
+    along the remaining ``axes``."""
+    return _derivative_smooth(X, axis, [-1.0, 0.0, 1.0], [1.0, 1.0, 1.0],
+                              mode, cval, axes)
+
+
+def laplace(X, *, mode='reflect', cval=0.0, axes=None):
+    """Discrete Laplacian (``scipy.ndimage.laplace`` equivalent): the
+    sum over ``axes`` of the second-difference filter ``[1, -2, 1]``."""
+    X = jnp.asarray(X)
+    if axes is None:
+        axes = tuple(range(X.ndim))
+    elif isinstance(axes, int):
+        axes = (axes,)
+    axes = tuple(a % X.ndim for a in axes)
+    out = None
+    for ax in axes:
+        term = correlate1d(X, [1.0, -2.0, 1.0], ax, mode=mode, cval=cval)
+        out = term if out is None else out + term
+    return out
+
+
+def correlate(X, weights, *, mode='reflect', cval=0.0, origin=0):
+    """N-D correlation with an arbitrary kernel
+    (``scipy.ndimage.correlate`` equivalent): boundary fold as static
+    index pads + one VALID ``lax.conv_general_dilated`` at HIGHEST
+    precision; exactly differentiable by linearity."""
+    from elasticdeform_tpu.ops.filters import apply_correlate
+    return apply_correlate(jnp.asarray(X), weights, mode, cval, origin)
+
+
+def convolve(X, weights, *, mode='reflect', cval=0.0, origin=0):
+    """N-D convolution (``scipy.ndimage.convolve`` equivalent):
+    correlation with the reversed kernel and mirrored origins."""
+    from elasticdeform_tpu.ops.filters import apply_correlate
+    return apply_correlate(jnp.asarray(X), weights, mode, cval, origin,
+                           convolution=True)
+
+
+def minimum_filter1d(X, size, axis=-1, *, mode='reflect', cval=0.0,
+                     origin=0):
+    """1-D minimum filter (``scipy.ndimage.minimum_filter1d``
+    equivalent): boundary pad + ``lax.reduce_window`` — TPU's native
+    windowed reduction; dtype-preserving (no arithmetic)."""
+    from elasticdeform_tpu.ops import morphology as _m
+    return _m.min_max_filter1d(X, size, axis, mode, cval, origin, True)
+
+
+def maximum_filter1d(X, size, axis=-1, *, mode='reflect', cval=0.0,
+                     origin=0):
+    """1-D maximum filter (``scipy.ndimage.maximum_filter1d``
+    equivalent)."""
+    from elasticdeform_tpu.ops import morphology as _m
+    return _m.min_max_filter1d(X, size, axis, mode, cval, origin, False)
+
+
+def minimum_filter(X, size=None, footprint=None, *, mode='reflect',
+                   cval=0.0, origin=0, axes=None):
+    """N-D minimum filter (``scipy.ndimage.minimum_filter`` equivalent).
+    Box footprints decompose separably into per-axis ``reduce_window``
+    calls exactly as scipy does; arbitrary footprints reduce a static
+    stack of shifted slices (no gather — stencils are displacement-free)."""
+    from elasticdeform_tpu.ops import morphology as _m
+    return _m.min_max_filter(X, size, footprint, None, mode, cval,
+                             origin, True, axes)
+
+
+def maximum_filter(X, size=None, footprint=None, *, mode='reflect',
+                   cval=0.0, origin=0, axes=None):
+    """N-D maximum filter (``scipy.ndimage.maximum_filter`` equivalent)."""
+    from elasticdeform_tpu.ops import morphology as _m
+    return _m.min_max_filter(X, size, footprint, None, mode, cval,
+                             origin, False, axes)
+
+
+def rank_filter(X, rank, size=None, footprint=None, *, mode='reflect',
+                cval=0.0, origin=0, axes=None):
+    """Order-statistic filter (``scipy.ndimage.rank_filter``
+    equivalent): the footprint taps are stacked along a new trailing
+    axis, ``jnp.sort``-ed (one k-lane sort vectorized over every output
+    voxel), and the requested rank is taken. Negative ranks count from
+    the top; rank 0 / k-1 short-circuit to min/max filters."""
+    from elasticdeform_tpu.ops import morphology as _m
+    return _m.rank_filter(X, rank, size, footprint, mode, cval, origin,
+                          'rank', axes)
+
+
+def median_filter(X, size=None, footprint=None, *, mode='reflect',
+                  cval=0.0, origin=0, axes=None):
+    """Median filter (``scipy.ndimage.median_filter`` equivalent):
+    ``rank_filter`` at rank ``footprint_size // 2``."""
+    from elasticdeform_tpu.ops import morphology as _m
+    return _m.rank_filter(X, 0, size, footprint, mode, cval, origin,
+                          'median', axes)
+
+
+def percentile_filter(X, percentile, size=None, footprint=None, *,
+                      mode='reflect', cval=0.0, origin=0, axes=None):
+    """Percentile filter (``scipy.ndimage.percentile_filter``
+    equivalent; scipy's exact ``int(k * p / 100)`` rank rule)."""
+    from elasticdeform_tpu.ops import morphology as _m
+    return _m.rank_filter(X, percentile, size, footprint, mode, cval,
+                          origin, 'percentile', axes)
+
+
+def grey_erosion(X, size=None, footprint=None, structure=None, *,
+                 mode='reflect', cval=0.0, origin=0, axes=None):
+    """Greyscale erosion (``scipy.ndimage.grey_erosion`` equivalent):
+    ``min(input(y + z) - structure(z))`` over the footprint; flat
+    structures reduce to :func:`minimum_filter`."""
+    from elasticdeform_tpu.ops import morphology as _m
+    if size is None and footprint is None and structure is None:
+        raise ValueError("size, footprint, or structure must be specified")
+    return _m.min_max_filter(X, size, footprint, structure, mode, cval,
+                             origin, True, axes)
+
+
+def grey_dilation(X, size=None, footprint=None, structure=None, *,
+                  mode='reflect', cval=0.0, origin=0, axes=None):
+    """Greyscale dilation (``scipy.ndimage.grey_dilation`` equivalent):
+    footprint/structure reflected and origin mirrored as scipy does."""
+    from elasticdeform_tpu.ops import morphology as _m
+    import numpy as _np
+    if size is None and footprint is None and structure is None:
+        raise ValueError("size, footprint, or structure must be specified")
+    if structure is not None:
+        structure = _np.asarray(structure)
+        structure = structure[tuple(slice(None, None, -1)
+                                    for _ in range(structure.ndim))]
+    if footprint is not None:
+        footprint = _np.asarray(footprint)
+        footprint = footprint[tuple(slice(None, None, -1)
+                                    for _ in range(footprint.ndim))]
+    X = jnp.asarray(X)
+    axes_t = tuple(range(X.ndim)) if axes is None else (
+        (axes,) if _np.isscalar(axes) else tuple(axes))
+    axes_t = tuple(int(a) % X.ndim for a in axes_t)
+    origins = _m.normalize_sequence(origin, len(axes_t), "origin")
+    origins = [-int(o) for o in origins]
+    for ii in range(len(origins)):
+        if footprint is not None:
+            sz = footprint.shape[ii]
+        elif structure is not None:
+            sz = structure.shape[ii]
+        elif _np.isscalar(size):
+            sz = size
+        else:
+            sz = size[ii]
+        if not sz & 1:
+            origins[ii] -= 1
+    return _m.min_max_filter(X, size, footprint, structure, mode, cval,
+                             origins, False, axes_t)
+
+
+def grey_opening(X, size=None, footprint=None, structure=None, *,
+                 mode='reflect', cval=0.0, origin=0, axes=None):
+    """Greyscale opening: erosion then dilation
+    (``scipy.ndimage.grey_opening`` equivalent)."""
+    tmp = grey_erosion(X, size, footprint, structure, mode=mode,
+                       cval=cval, origin=origin, axes=axes)
+    return grey_dilation(tmp, size, footprint, structure, mode=mode,
+                         cval=cval, origin=origin, axes=axes)
+
+
+def grey_closing(X, size=None, footprint=None, structure=None, *,
+                 mode='reflect', cval=0.0, origin=0, axes=None):
+    """Greyscale closing: dilation then erosion
+    (``scipy.ndimage.grey_closing`` equivalent)."""
+    tmp = grey_dilation(X, size, footprint, structure, mode=mode,
+                        cval=cval, origin=origin, axes=axes)
+    return grey_erosion(tmp, size, footprint, structure, mode=mode,
+                        cval=cval, origin=origin, axes=axes)
+
+
+def morphological_gradient(X, size=None, footprint=None, structure=None,
+                           *, mode='reflect', cval=0.0, origin=0,
+                           axes=None):
+    """Morphological gradient: dilation minus erosion
+    (``scipy.ndimage.morphological_gradient`` equivalent)."""
+    return (grey_dilation(X, size, footprint, structure, mode=mode,
+                          cval=cval, origin=origin, axes=axes)
+            - grey_erosion(X, size, footprint, structure, mode=mode,
+                           cval=cval, origin=origin, axes=axes))
+
+
+def morphological_laplace(X, size=None, footprint=None, structure=None,
+                          *, mode='reflect', cval=0.0, origin=0,
+                          axes=None):
+    """Morphological Laplace: dilation + erosion − 2·input
+    (``scipy.ndimage.morphological_laplace`` equivalent)."""
+    X = jnp.asarray(X)
+    return (grey_dilation(X, size, footprint, structure, mode=mode,
+                          cval=cval, origin=origin, axes=axes)
+            + grey_erosion(X, size, footprint, structure, mode=mode,
+                           cval=cval, origin=origin, axes=axes)
+            - X - X)
+
+
+def white_tophat(X, size=None, footprint=None, structure=None, *,
+                 mode='reflect', cval=0.0, origin=0, axes=None):
+    """White top-hat: input minus its opening
+    (``scipy.ndimage.white_tophat`` equivalent)."""
+    X = jnp.asarray(X)
+    tmp = grey_opening(X, size, footprint, structure, mode=mode,
+                       cval=cval, origin=origin, axes=axes)
+    if X.dtype == jnp.bool_ and tmp.dtype == jnp.bool_:
+        return X ^ tmp
+    return X - tmp
+
+
+def black_tophat(X, size=None, footprint=None, structure=None, *,
+                 mode='reflect', cval=0.0, origin=0, axes=None):
+    """Black top-hat: closing minus input
+    (``scipy.ndimage.black_tophat`` equivalent)."""
+    X = jnp.asarray(X)
+    tmp = grey_closing(X, size, footprint, structure, mode=mode,
+                       cval=cval, origin=origin, axes=axes)
+    if X.dtype == jnp.bool_ and tmp.dtype == jnp.bool_:
+        return tmp ^ X
+    return tmp - X
+
+
+def binary_erosion(X, structure=None, iterations=1, mask=None, *,
+                   border_value=0, origin=0):
+    """Binary erosion (``scipy.ndimage.binary_erosion`` equivalent):
+    the Boolean stencil under ``lax.fori_loop`` (fixed ``iterations``)
+    or ``lax.while_loop`` to the fixpoint (``iterations <= 0``), fully
+    on-device and jit-traceable. ``mask`` gates which voxels may change
+    each step; the border extends with ``border_value``."""
+    from elasticdeform_tpu.ops import morphology as _m
+    return _m.binary_erosion_dilation(X, structure, iterations, mask,
+                                      border_value, origin, False)
+
+
+def binary_dilation(X, structure=None, iterations=1, mask=None, *,
+                    border_value=0, origin=0):
+    """Binary dilation (``scipy.ndimage.binary_dilation`` equivalent):
+    structure reflected and origin mirrored as scipy does."""
+    from elasticdeform_tpu.ops import morphology as _m
+    return _m.binary_erosion_dilation(X, structure, iterations, mask,
+                                      border_value, origin, True)
+
+
+def binary_opening(X, structure=None, iterations=1, mask=None, *,
+                   border_value=0, origin=0):
+    """Binary opening: erosion then dilation, each ``iterations`` times
+    (``scipy.ndimage.binary_opening`` equivalent)."""
+    tmp = binary_erosion(X, structure, iterations, mask,
+                         border_value=border_value, origin=origin)
+    return binary_dilation(tmp, structure, iterations, mask,
+                           border_value=border_value, origin=origin)
+
+
+def binary_closing(X, structure=None, iterations=1, mask=None, *,
+                   border_value=0, origin=0):
+    """Binary closing: dilation then erosion
+    (``scipy.ndimage.binary_closing`` equivalent)."""
+    tmp = binary_dilation(X, structure, iterations, mask,
+                          border_value=border_value, origin=origin)
+    return binary_erosion(tmp, structure, iterations, mask,
+                          border_value=border_value, origin=origin)
+
+
+def binary_propagation(X, structure=None, mask=None, *, border_value=0,
+                       origin=0):
+    """Binary propagation: dilate to the fixpoint inside ``mask``
+    (``scipy.ndimage.binary_propagation`` equivalent) — geodesic
+    reconstruction by dilation, as one ``lax.while_loop``."""
+    return binary_dilation(X, structure, -1, mask,
+                           border_value=border_value, origin=origin)
+
+
+def binary_fill_holes(X, structure=None, *, origin=0):
+    """Fill holes in binary objects
+    (``scipy.ndimage.binary_fill_holes`` equivalent): propagate
+    background from the border (``border_value=1``) through the
+    complement, then invert — one on-device ``while_loop``."""
+    X = jnp.asarray(X) != 0
+    seed = jnp.zeros(X.shape, bool)
+    reached = binary_dilation(seed, structure, -1, ~X, border_value=1,
+                              origin=origin)
+    return ~reached
+
+
+def binary_hit_or_miss(X, structure1=None, structure2=None, *,
+                       origin1=0, origin2=None):
+    """Binary hit-or-miss transform
+    (``scipy.ndimage.binary_hit_or_miss`` equivalent):
+    ``erosion(X, s1) & erosion(~X, s2)`` with scipy's default
+    ``s2 = ~s1`` and border conventions."""
+    from elasticdeform_tpu.ops import morphology as _m
+    import numpy as _np
+    X = jnp.asarray(X) != 0
+    if structure1 is None:
+        structure1 = _m.generate_binary_structure(X.ndim, 1)
+    else:
+        structure1 = _np.asarray(structure1)
+    if structure2 is None:
+        structure2 = _np.logical_not(structure1)
+    if origin2 is None:
+        origin2 = origin1
+    tmp1 = binary_erosion(X, structure1, 1, None, border_value=0,
+                          origin=origin1)
+    tmp2 = binary_erosion(~X, structure2, 1, None, border_value=1,
+                          origin=origin2)
+    return tmp1 & tmp2
+
+
+def fourier_gaussian(X, sigma, n=-1, axis=-1):
+    """Multiply an FFT'd array by a Gaussian transfer function
+    (``scipy.ndimage.fourier_gaussian`` equivalent): the multiplier
+    ``prod_i exp(-2 pi^2 sigma_i^2 f_i^2)`` is precomputed in numpy
+    f64 at trace time and applied as one broadcast multiply. ``n >= 0``
+    marks ``axis`` as the half-spectrum axis of a real transform of
+    length ``n`` (``rfftn`` convention)."""
+    from elasticdeform_tpu.ops.fourier import apply_fourier_filter
+    return apply_fourier_filter(X, sigma, n, axis, 'gaussian')
+
+
+def fourier_uniform(X, size, n=-1, axis=-1):
+    """Fourier-domain box filter (``scipy.ndimage.fourier_uniform``
+    equivalent): per-axis ``sinc(size_i f_i)`` multiplier."""
+    from elasticdeform_tpu.ops.fourier import apply_fourier_filter
+    return apply_fourier_filter(X, size, n, axis, 'uniform')
+
+
+def fourier_ellipsoid(X, size, n=-1, axis=-1):
+    """Fourier-domain ellipsoid filter
+    (``scipy.ndimage.fourier_ellipsoid`` equivalent; 1-3 D like scipy)."""
+    from elasticdeform_tpu.ops.fourier import apply_fourier_filter
+    return apply_fourier_filter(X, size, n, axis, 'ellipsoid')
+
+
+def fourier_shift(X, shift, n=-1, axis=-1):
+    """Fourier-domain shift (``scipy.ndimage.fourier_shift``
+    equivalent): the phase ramp ``exp(-2 pi i f . shift)``. Complex
+    arithmetic — unavailable on the axon TPU backend (see design.rst);
+    CPU-jittable and exactly differentiable."""
+    from elasticdeform_tpu.ops.fourier import apply_fourier_filter
+    return apply_fourier_filter(X, shift, n, axis, 'shift')
+
+
 def random_displacement(key, points, sigma=25.0, *, ndim=None,
                         dtype=jnp.float32):
     """Sample a random control-point displacement grid with an explicit key.

@@ -79,12 +79,18 @@ def _fold_index(j, n, mode):
 
 
 @functools.lru_cache(maxsize=None)
-def filter_matrix(n, weights_key, mode):
+def filter_matrix(n, weights_key, mode, center=None):
     """``(M, b)``: correlation along an axis of length ``n`` with the
     tap tuple ``weights_key`` under boundary ``mode``, as a dense matrix
-    plus the constant-mode bias weight per row (multiply by cval)."""
+    plus the constant-mode bias weight per row (multiply by cval).
+    ``center`` is the tap index aligned with the output position
+    (scipy correlate1d: ``len(weights) // 2 + origin``); default is the
+    symmetric center of an odd-length kernel."""
     weights = np.asarray(weights_key, dtype=np.float64)
-    r = (len(weights) - 1) // 2
+    r = (len(weights) - 1) // 2 if center is None else int(center)
+    if not 0 <= r < len(weights):
+        raise ValueError("origin shifts the filter off its support "
+                         f"(center {r} for {len(weights)} taps).")
     M = np.zeros((n, n))
     b = np.zeros((n,))
     for k, w in enumerate(weights):
@@ -115,14 +121,13 @@ def gaussian_filter1d_matrix(n, sigma, order, mode, truncate, radius):
     return filter_matrix(int(n), tuple(weights.tolist()), mode)
 
 
-def apply_filter1d(X, axis, sigma, order, mode, cval, truncate, radius):
-    """Apply the Gaussian (derivative-)filter along one axis of a jax
-    array via the precomputed matrix; exact-adjoint by linearity."""
+def apply_matrix1d(X, axis, M, b, mode, cval):
+    """Apply a precomputed ``(n, n)`` filter matrix (+ constant-mode
+    bias) along one axis of a jax array as a HIGHEST-precision matmul;
+    exact-adjoint by linearity."""
     X = jnp.asarray(X)
     axis = axis % X.ndim
     n = int(X.shape[axis])
-    M, b = gaussian_filter1d_matrix(n, sigma, order, mode, truncate,
-                                    radius)
     dtype = X.dtype if X.dtype in (jnp.float32, jnp.float64) else (
         jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
     out = jnp.moveaxis(
@@ -135,3 +140,116 @@ def apply_filter1d(X, axis, sigma, order, mode, cval, truncate, radius):
         shape[axis] = n
         out = out + jnp.asarray(b * float(cval), dtype=dtype).reshape(shape)
     return out
+
+
+def apply_filter1d(X, axis, sigma, order, mode, cval, truncate, radius):
+    """Apply the Gaussian (derivative-)filter along one axis of a jax
+    array via the precomputed matrix; exact-adjoint by linearity."""
+    X = jnp.asarray(X)
+    axis = axis % X.ndim
+    n = int(X.shape[axis])
+    M, b = gaussian_filter1d_matrix(n, sigma, order, mode, truncate,
+                                    radius)
+    return apply_matrix1d(X, axis, M, b, mode, cval)
+
+
+def apply_correlate1d(X, weights, axis, mode, cval, origin):
+    """scipy ``correlate1d`` semantics: tap ``len(weights)//2 + origin``
+    aligns with the output position."""
+    X = jnp.asarray(X)
+    axis = axis % X.ndim
+    weights = np.asarray(weights, dtype=np.float64)
+    if weights.ndim != 1 or weights.size == 0:
+        raise ValueError("weights must be a non-empty 1-D sequence")
+    center = len(weights) // 2 + int(origin)
+    M, b = filter_matrix(int(X.shape[axis]), tuple(weights.tolist()),
+                         mode, center)
+    return apply_matrix1d(X, axis, M, b, mode, cval)
+
+
+# ---------------------------------------------------------------------------
+# shared boundary-extension helpers (used here and by ops/morphology.py)
+
+_FILTER_MODES = ("reflect", "constant", "nearest", "mirror", "wrap")
+_MODE_ALIASES = {"grid-mirror": "reflect", "grid-wrap": "wrap",
+                 "grid-constant": "constant"}
+
+
+def normalize_sequence(value, n, name):
+    """Broadcast a scalar to ``n`` entries; validate sequence length
+    (scipy ``_normalize_sequence`` semantics)."""
+    if isinstance(value, (list, tuple, np.ndarray)):
+        seq = list(value)
+        if len(seq) != n:
+            raise RuntimeError(
+                f"{name} must have length equal to input rank ({n}); "
+                f"got {len(seq)}")
+        return seq
+    return [value] * n
+
+
+def check_mode(mode):
+    mode = _MODE_ALIASES.get(mode, mode)
+    if mode not in _FILTER_MODES:
+        raise RuntimeError(f"boundary mode not supported: {mode!r}")
+    return mode
+
+
+def pad_axis(X, axis, lo, hi, mode, cval):
+    """Extend one axis by (lo, hi) under a scipy *filter* boundary mode:
+    a single static ``jnp.take`` with fold indices precomputed in numpy
+    (constant mode pads with cval instead). Any pad width works — the
+    fold repeats exactly like scipy's."""
+    if lo == 0 and hi == 0:
+        return X
+    n = int(X.shape[axis])
+    if mode == "constant":
+        pads = [(0, 0)] * X.ndim
+        pads[axis] = (int(lo), int(hi))
+        return jnp.pad(X, pads, constant_values=jnp.asarray(cval, X.dtype))
+    idx = np.array([_fold_index(j, n, mode)
+                    for j in range(-int(lo), n + int(hi))], dtype=np.int32)
+    return jnp.take(X, jnp.asarray(idx), axis=axis)
+
+
+def pad_all(X, pads, modes, cval):
+    for ax, ((lo, hi), mode) in enumerate(zip(pads, modes)):
+        X = pad_axis(X, ax, lo, hi, mode, cval)
+    return X
+
+
+def apply_correlate(X, weights, mode, cval, origin, convolution=False):
+    """N-D correlation/convolution with an arbitrary kernel
+    (``scipy.ndimage.correlate`` / ``convolve`` equivalent): boundary
+    fold as static index pads, then ONE ``lax.conv_general_dilated``
+    VALID window at HIGHEST precision. XLA's conv primitive computes
+    cross-correlation (no kernel flip), exactly scipy's ``correlate``;
+    ``convolve`` reverses the kernel and mirrors the origin (scipy
+    ``_correlate_or_convolve``). Linear => exact adjoint by autodiff."""
+    X = jnp.asarray(X)
+    w = np.asarray(weights, dtype=np.float64)
+    if w.ndim != X.ndim:
+        raise RuntimeError("filter weights array has incorrect shape.")
+    if w.size == 0:
+        raise ValueError("weights must not be empty")
+    origins = [int(o) for o in
+               normalize_sequence(origin, X.ndim, "origin")]
+    if convolution:
+        w = w[tuple(slice(None, None, -1) for _ in range(w.ndim))]
+        origins = [-o if k & 1 else -o - 1
+                   for o, k in zip(origins, w.shape)]
+    mode = check_mode(mode)
+    pads = []
+    for k, o in zip(w.shape, origins):
+        c = k // 2 + o
+        if not 0 <= c < k:
+            raise ValueError("invalid origin")
+        pads.append((c, k - 1 - c))
+    dtype = X.dtype if X.dtype in (jnp.float32, jnp.float64) else (
+        jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    Xp = pad_all(X.astype(dtype), pads, [mode] * X.ndim, cval)
+    out = jax.lax.conv_general_dilated(
+        Xp[None, None], jnp.asarray(w, dtype)[None, None],
+        window_strides=(1,) * X.ndim, padding="VALID",
+        precision=jax.lax.Precision.HIGHEST)
+    return out[0, 0]

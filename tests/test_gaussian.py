@@ -195,3 +195,96 @@ def test_gaussian_laplace_jit_grad(rng):
     fd = (f(x + eps * v) - f(x - eps * v)) / (2 * eps)
     np.testing.assert_allclose(float(jnp.vdot(g, v)), float(fd),
                                rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# generic correlation/convolution tier (correlate1d, convolve1d,
+# uniform_filter, sobel, prewitt, laplace)
+
+
+@pytest.mark.parametrize('mode', MODES)
+@pytest.mark.parametrize('taps', [[1.0, 2.0, 3.0],
+                                  [0.5, -1.0, 2.0, 0.25],      # even length
+                                  [2.0],
+                                  [1, 2, 3, 4, 5, 6, 7]])
+def test_correlate1d_matches_scipy(rng, taps, mode):
+    x = rng.standard_normal((13, 21))
+    want = scipy.ndimage.correlate1d(x, taps, axis=1, mode=mode, cval=0.3)
+    got = ed.correlate1d(jnp.asarray(x), taps, axis=1, mode=mode, cval=0.3)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize('origin', [-1, 0, 1])
+@pytest.mark.parametrize('taps', [[1.0, 2.0, 3.0], [0.5, -1.0, 2.0, 0.25]])
+def test_correlate1d_convolve1d_origin(rng, taps, origin):
+    x = rng.standard_normal(19)
+    want = scipy.ndimage.correlate1d(x, taps, mode='nearest', origin=origin)
+    got = ed.correlate1d(jnp.asarray(x), taps, mode='nearest', origin=origin)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12, atol=1e-12)
+    want = scipy.ndimage.convolve1d(x, taps, mode='nearest', origin=origin)
+    got = ed.convolve1d(jnp.asarray(x), taps, mode='nearest', origin=origin)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12, atol=1e-12)
+
+
+def test_correlate1d_validation():
+    x = jnp.zeros(8)
+    with pytest.raises(ValueError, match='non-empty'):
+        ed.correlate1d(x, [])
+    with pytest.raises(ValueError, match='off its support'):
+        ed.correlate1d(x, [1.0, 2.0, 3.0], origin=5)
+
+
+@pytest.mark.parametrize('mode', MODES)
+@pytest.mark.parametrize('size', [2, 3, 5])
+def test_uniform_filter_matches_scipy(rng, size, mode):
+    x = rng.standard_normal((11, 14))
+    want = scipy.ndimage.uniform_filter(x, size, mode=mode, cval=0.8)
+    got = ed.uniform_filter(jnp.asarray(x), size, mode=mode, cval=0.8)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12, atol=1e-12)
+
+
+def test_uniform_filter_per_axis_and_origin(rng):
+    x = rng.standard_normal((10, 12))
+    want = scipy.ndimage.uniform_filter(x, (3, 5), origin=(1, -1))
+    got = ed.uniform_filter(jnp.asarray(x), (3, 5), origin=(1, -1))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12, atol=1e-12)
+    want = scipy.ndimage.uniform_filter1d(x, 4, axis=0, origin=1)
+    got = ed.uniform_filter1d(jnp.asarray(x), 4, axis=0, origin=1)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12, atol=1e-12)
+    with pytest.raises(ValueError, match='at least 1'):
+        ed.uniform_filter1d(x, 0)
+
+
+@pytest.mark.parametrize('axis', [0, 1, -1])
+@pytest.mark.parametrize('mode', ['reflect', 'constant'])
+def test_sobel_prewitt_match_scipy(rng, axis, mode):
+    x = rng.standard_normal((12, 15))
+    for sp, ours in [(scipy.ndimage.sobel, ed.sobel),
+                     (scipy.ndimage.prewitt, ed.prewitt)]:
+        want = sp(x, axis=axis, mode=mode, cval=0.1)
+        got = ours(jnp.asarray(x), axis=axis, mode=mode, cval=0.1)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12,
+                                   atol=1e-12)
+
+
+@pytest.mark.parametrize('mode', ['reflect', 'wrap', 'constant'])
+def test_laplace_matches_scipy(rng, mode):
+    x = rng.standard_normal((9, 8, 7))
+    want = scipy.ndimage.laplace(x, mode=mode, cval=-0.2)
+    got = ed.laplace(jnp.asarray(x), mode=mode, cval=-0.2)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12, atol=1e-12)
+
+
+def test_filter_tier_jit_and_adjoint(rng):
+    x = jnp.asarray(rng.standard_normal((10, 11)))
+    y = jnp.asarray(rng.standard_normal((10, 11)))
+    fwd = jax.jit(lambda a: ed.convolve1d(
+        ed.uniform_filter(a, 3), [1.0, -2.0, 1.0], axis=0, mode='wrap'))
+    gx = fwd(x)
+    want = scipy.ndimage.convolve1d(
+        scipy.ndimage.uniform_filter(np.asarray(x), 3),
+        [1.0, -2.0, 1.0], axis=0, mode='wrap')
+    np.testing.assert_allclose(np.asarray(gx), want, rtol=1e-12, atol=1e-12)
+    (xt,) = jax.vjp(fwd, x)[1](y)
+    np.testing.assert_allclose(float(jnp.vdot(gx, y)),
+                               float(jnp.vdot(x, xt)), rtol=1e-12)

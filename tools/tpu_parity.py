@@ -384,6 +384,23 @@ def main():
         a, 1.2))(jnp.asarray(xg)))
     want = ndi.gaussian_gradient_magnitude(np.asarray(xg, np.float64), 1.2)
     ok &= check("gaussian_gradient_magnitude f32 vs scipy", got, want, 2e-5)
+    taps = [0.5, -1.0, 2.0, 0.25]
+    got = np.asarray(jax.jit(lambda a: ed.correlate1d(
+        a, taps, axis=1, mode='nearest', origin=1))(jnp.asarray(xg)))
+    want = ndi.correlate1d(np.asarray(xg, np.float64), taps, axis=1,
+                           mode='nearest', origin=1)
+    ok &= check("correlate1d even-taps origin f32 vs scipy", got, want,
+                2e-6)
+    got = np.asarray(jax.jit(lambda a: ed.uniform_filter(
+        a, (3, 5)))(jnp.asarray(xg)))
+    want = ndi.uniform_filter(np.asarray(xg, np.float64), (3, 5))
+    ok &= check("uniform_filter f32 vs scipy", got, want, 2e-6)
+    got = np.asarray(jax.jit(lambda a: ed.sobel(a, 0))(jnp.asarray(xg)))
+    want = ndi.sobel(np.asarray(xg, np.float64), 0)
+    ok &= check("sobel f32 vs scipy", got, want, 2e-5)
+    got = np.asarray(jax.jit(lambda a: ed.laplace(a))(jnp.asarray(xg)))
+    want = ndi.laplace(np.asarray(xg, np.float64))
+    ok &= check("laplace f32 vs scipy", got, want, 2e-5)
 
     # keyed diffeomorphic augmentation: jitted chip call == the explicit
     # grid -> field -> exponential -> warp composition on chip
