@@ -92,6 +92,10 @@ from elasticdeform_tpu.core import (
     gaussian_filter1d,
     gaussian_gradient_magnitude,
     gaussian_laplace,
+    generic_filter,
+    generic_filter1d,
+    generic_gradient_magnitude,
+    generic_laplace,
     geometric_transform,
     grey_closing,
     grey_dilation,
@@ -123,6 +127,7 @@ from elasticdeform_tpu.core import (
     spline_filter1d,
     uniform_filter,
     uniform_filter1d,
+    vectorized_filter,
     white_tophat,
     random_displacement,
     deform_random,
@@ -131,6 +136,12 @@ from elasticdeform_tpu.core import (
 from elasticdeform_tpu.ops.morphology import (
     generate_binary_structure,
     iterate_structure,
+    watershed_ift,
+)
+from elasticdeform_tpu.ops.distance import (
+    distance_transform_bf,
+    distance_transform_cdt,
+    distance_transform_edt,
 )
 from elasticdeform_tpu.measure import (
     center_of_mass,
@@ -202,6 +213,9 @@ __all__ = [
     "deform_field",
     "deform_field_batch",
     "deform_gradient",
+    "distance_transform_bf",
+    "distance_transform_cdt",
+    "distance_transform_edt",
     "deform_random_diffeo",
     "displacement_field",
     "displacement_field_jacobian",
@@ -213,6 +227,10 @@ __all__ = [
     "gaussian_filter1d",
     "gaussian_gradient_magnitude",
     "gaussian_laplace",
+    "generic_filter",
+    "generic_filter1d",
+    "generic_gradient_magnitude",
+    "generic_laplace",
     "geometric_transform",
     "jacobian_determinant",
     "jacobian_determinant_field",
@@ -240,6 +258,8 @@ __all__ = [
     "spline_filter1d",
     "uniform_filter",
     "uniform_filter1d",
+    "vectorized_filter",
+    "watershed_ift",
     "white_tophat",
     "prewitt",
     "random_displacement",

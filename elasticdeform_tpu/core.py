@@ -1497,6 +1497,188 @@ def binary_hit_or_miss(X, structure1=None, structure2=None, *,
     return tmp1 & tmp2
 
 
+def generic_laplace(X, derivative2, *, mode='reflect', cval=0.0,
+                    extra_arguments=(), extra_keywords=None, axes=None):
+    """N-D Laplace with a user second-derivative callable
+    (``scipy.ndimage.generic_laplace`` equivalent). The callable is
+    traced, not called per voxel: signature
+    ``derivative2(input, axis, mode, cval, *extra_arguments,
+    **extra_keywords) -> array`` (scipy's in-place ``output`` argument
+    is dropped — functional JAX returns the array)."""
+    extra_keywords = extra_keywords or {}
+    X = jnp.asarray(X)
+    if axes is None:
+        axes = tuple(range(X.ndim))
+    elif isinstance(axes, int):
+        axes = (axes,)
+    axes = tuple(a % X.ndim for a in axes)
+    out = None
+    for ax in axes:
+        term = derivative2(X, ax, mode, cval, *extra_arguments,
+                           **extra_keywords)
+        out = term if out is None else out + term
+    return out if out is not None else jnp.zeros_like(X)
+
+
+def generic_gradient_magnitude(X, derivative, *, mode='reflect',
+                               cval=0.0, extra_arguments=(),
+                               extra_keywords=None, axes=None):
+    """Gradient magnitude with a user derivative callable
+    (``scipy.ndimage.generic_gradient_magnitude`` equivalent; same
+    traced-callable convention as :func:`generic_laplace`)."""
+    extra_keywords = extra_keywords or {}
+    X = jnp.asarray(X)
+    if axes is None:
+        axes = tuple(range(X.ndim))
+    elif isinstance(axes, int):
+        axes = (axes,)
+    axes = tuple(a % X.ndim for a in axes)
+    out = None
+    for ax in axes:
+        d = derivative(X, ax, mode, cval, *extra_arguments,
+                       **extra_keywords)
+        d = d * d
+        out = d if out is None else out + d
+    return jnp.sqrt(out) if out is not None else jnp.zeros_like(X)
+
+
+def generic_filter(X, function, size=None, footprint=None, *,
+                   mode='reflect', cval=0.0, origin=0,
+                   extra_arguments=(), extra_keywords=None, axes=None):
+    """Window filter with a user callable
+    (``scipy.ndimage.generic_filter`` equivalent). The footprint taps
+    of every output voxel are stacked along a new trailing axis
+    (raster order, like scipy's window buffer) and ``function`` — a
+    JAX-traceable callable taking the 1-D tap vector — is ``vmap``-ed
+    over all voxels at once, so one traced program replaces scipy's
+    per-voxel Python callback."""
+    from elasticdeform_tpu.ops import morphology as _m
+    import numpy as _np
+    extra_keywords = extra_keywords or {}
+    X = jnp.asarray(X)
+    axes_t = _m._normalize_axes(axes, X.ndim)
+    if footprint is None:
+        if size is None:
+            raise RuntimeError("no footprint or filter size provided")
+        sizes = _m.normalize_sequence(size, len(axes_t), "size")
+        footprint = _np.ones(sizes, dtype=bool)
+    else:
+        footprint = _np.asarray(footprint, dtype=bool)
+    footprint = _m._expand_to_ndim(footprint, X.ndim, axes_t)
+    origins = _m.normalize_sequence(origin, len(axes_t), "origin")
+    full_origins = [0] * X.ndim
+    for ax, o in zip(axes_t, origins):
+        full_origins[ax] = int(o)
+    stack = _m.footprint_tap_stack(X, footprint, full_origins, mode,
+                                   cval)
+    k = stack.shape[-1]
+    flat = stack.reshape(-1, k)
+    fn = lambda v: function(v, *extra_arguments, **extra_keywords)
+    out = jax.vmap(fn)(flat)
+    return out.reshape(X.shape)
+
+
+def generic_filter1d(X, function, filter_size, axis=-1, *,
+                     mode='reflect', cval=0.0, origin=0,
+                     extra_arguments=(), extra_keywords=None):
+    """Line filter with a user callable
+    (``scipy.ndimage.generic_filter1d`` equivalent). scipy's contract
+    is in-place (``function(line_in, line_out)``); the traced
+    adaptation is functional: ``function(line_in) -> line_out`` where
+    ``line_in`` is the boundary-extended line of length
+    ``n + filter_size - 1`` and the result has length ``n``. The
+    callable is ``vmap``-ed over all lines."""
+    from elasticdeform_tpu.ops import morphology as _m
+    extra_keywords = extra_keywords or {}
+    X = jnp.asarray(X)
+    axis = axis % X.ndim
+    size = int(filter_size)
+    if size < 1:
+        raise RuntimeError("invalid filter size")
+    c = size // 2 + int(origin)
+    if not 0 <= c < size:
+        raise ValueError("invalid origin")
+    Xp = _m.pad_axis(X, axis, c, size - 1 - c,
+                     _m.check_mode(mode), cval)
+    n = X.shape[axis]
+    moved = jnp.moveaxis(Xp, axis, -1)
+    lines = moved.reshape(-1, moved.shape[-1])
+    fn = lambda v: function(v, *extra_arguments, **extra_keywords)
+    out = jax.vmap(fn)(lines)
+    if out.shape[-1] != n:
+        raise ValueError(
+            f"function must return lines of length {n}; got "
+            f"{out.shape[-1]}")
+    out = out.reshape(moved.shape[:-1] + (n,))
+    return jnp.moveaxis(out, -1, axis)
+
+
+def vectorized_filter(X, function, *, size=None, footprint=None,
+                      mode='reflect', cval=None, origin=None,
+                      axes=None):
+    """Window filter with a vectorized reducing callable
+    (``scipy.ndimage.vectorized_filter`` equivalent): ``function``
+    receives the window dimensions appended as trailing axes (or, with
+    a ``footprint``, the selected taps flattened into one trailing
+    axis) and is called ONCE with ``axis=`` — exactly scipy's
+    contract, realized as static shifted slices instead of a
+    sliding-window view. Supports the five boundary modes plus
+    ``'valid'`` (output shrinks by ``size - 1``)."""
+    from elasticdeform_tpu.ops import morphology as _m
+    import numpy as _np
+    X = jnp.asarray(X)
+    axes_t = _m._normalize_axes(axes, X.ndim)
+    n_axes = len(axes_t)
+    if footprint is not None:
+        footprint = _np.asarray(footprint, dtype=bool)
+        if footprint.ndim != n_axes:
+            raise ValueError("footprint.ndim must equal len(axes)")
+        sizes = list(footprint.shape)
+    else:
+        if size is None:
+            raise ValueError("either size or footprint must be given")
+        sizes = [int(s) for s in
+                 _m.normalize_sequence(size, n_axes, "size")]
+    origins = [int(o) for o in
+               _m.normalize_sequence(0 if origin is None else origin,
+                                     n_axes, "origin")]
+    if cval is not None and mode != 'constant':
+        raise ValueError(
+            "Use of `cval` is compatible only with `mode='constant'`.")
+    cval = 0.0 if cval is None else cval
+
+    work = X
+    out_shape = list(X.shape)
+    if mode == 'valid':
+        for ax, s in zip(axes_t, sizes):
+            out_shape[ax] = X.shape[ax] - (s - 1)
+            if out_shape[ax] < 1:
+                raise ValueError("size must not exceed input shape in "
+                                 "'valid' mode")
+    else:
+        md = _m.check_mode(mode)
+        for ax, s, o in zip(axes_t, sizes, origins):
+            work = _m.pad_axis(work, ax, s // 2 + o,
+                               (s - 1) // 2 - o, md, cval)
+    # windows: one new trailing axis per working axis, via static
+    # slices (out[i] window = padded[i : i + s])
+    for ax, s in zip(axes_t, sizes):
+        views = []
+        for kk in range(s):
+            start = [0] * work.ndim
+            limit = list(work.shape)
+            start[ax] = kk
+            limit[ax] = kk + out_shape[ax]
+            views.append(jax.lax.slice(work, start, limit))
+        work = jnp.stack(views, axis=-1)
+    if footprint is not None:
+        sel = _np.nonzero(footprint.reshape(-1))[0]
+        work = work.reshape(work.shape[:X.ndim] + (-1,))
+        work = jnp.take(work, jnp.asarray(sel), axis=-1)
+        return function(work, axis=-1)
+    return function(work, axis=tuple(range(-n_axes, 0)))
+
+
 def fourier_gaussian(X, sigma, n=-1, axis=-1):
     """Multiply an FFT'd array by a Gaussian transfer function
     (``scipy.ndimage.fourier_gaussian`` equivalent): the multiplier

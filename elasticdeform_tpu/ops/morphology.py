@@ -60,6 +60,21 @@ def footprint_centers(fshape, origins):
     return centers
 
 
+def footprint_tap_stack(X, footprint, origins, mode, cval):
+    """Stack the footprint taps of every output voxel along a new
+    trailing axis (raster order of the footprint — scipy's window
+    order): pad once, then one static ``lax.slice`` per tap. Shared by
+    the rank filters and ``generic_filter``."""
+    X = jnp.asarray(X)
+    footprint = np.asarray(footprint, dtype=bool)
+    md = check_mode(mode)
+    centers = footprint_centers(footprint.shape, origins)
+    pads = [(c, k - 1 - c) for c, k in zip(centers, footprint.shape)]
+    Xp = pad_all(X, pads, [md] * X.ndim, cval)
+    taps = list(zip(*np.nonzero(footprint)))
+    return jnp.stack(_tap_slices(Xp, X.shape, taps), axis=-1)
+
+
 def _tap_slices(Xp, out_shape, taps):
     """Static shifted views of the padded array, one per footprint tap
     offset (each is a single ``lax.slice`` — no gather)."""
@@ -254,13 +269,7 @@ def rank_filter(X, rank, size, footprint, mode, cval, origin,
     if not isinstance(mode, str):
         raise RuntimeError("A sequence of modes is not supported by "
                            "non-separable rank filters")
-    md = check_mode(mode)
-    centers = footprint_centers(footprint.shape, full_origins)
-    pads = [(c, k - 1 - c) for c, k in zip(centers, footprint.shape)]
-    Xp = pad_all(X, pads, [md] * X.ndim, cval)
-    taps = list(zip(*np.nonzero(footprint)))
-    views = _tap_slices(Xp, X.shape, taps)
-    stack = jnp.stack(views, axis=-1)
+    stack = footprint_tap_stack(X, footprint, full_origins, mode, cval)
     return jnp.sort(stack, axis=-1)[..., rank]
 
 
@@ -391,3 +400,85 @@ def binary_erosion_dilation(input, structure, iterations, mask,
 
     out, _ = lax.while_loop(cond, body, (x, jnp.asarray(True)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# watershed (image foresting transform)
+
+
+def watershed_ift(input, markers, structure=None):
+    """Watershed by image foresting transform
+    (``scipy.ndimage.watershed_ift`` equivalent up to plateau
+    tie-breaking — see below): every non-marker voxel is claimed by the
+    marker with the cheapest path, where a path's cost is lexicographic
+    ``(max intensity along the path, path length, marker label)``.
+
+    This is the *textbook* IFT watershed (Falcão 2004: each voxel joins
+    the marker minimizing the max-arc path cost), realized as
+    data-parallel lexicographic relaxation (Bellman–Ford style)
+    iterated to the fixpoint in one ``lax.while_loop`` — deterministic
+    and jit-traceable. It intentionally does NOT reproduce scipy's
+    voxel-for-voxel output: scipy's C floods with a bucket queue whose
+    results are queue-order artifacts rather than cost-optimal
+    assignments (observed: with two markers on an image with a single
+    200-high ridge, scipy labels voxels that have a strictly
+    cheaper-by-200 path to marker 1 with marker 2; on an all-zero image
+    nearly everything goes to whichever marker was queued last).
+    tests/test_distance.py pins the 1-D strict-basin cases where scipy
+    agrees, and the basin semantics directly elsewhere.
+
+    ``markers``: positive = seeds, negative = background seeds (they
+    flood too, as in scipy); output has the markers' dtype.
+    """
+    x = jnp.asarray(input)
+    if x.dtype not in (jnp.uint8, jnp.uint16):
+        raise TypeError("only 8 and 16 unsigned inputs are supported")
+    markers = jnp.asarray(markers)
+    if markers.shape != x.shape:
+        raise RuntimeError("input and markers must have equal shapes")
+    ndim = x.ndim
+    if structure is None:
+        structure = generate_binary_structure(ndim, 1)
+    structure = np.asarray(structure, dtype=bool)
+    if structure.shape != (3,) * ndim:
+        raise RuntimeError("structure dimensions must be equal to 3")
+    offs = [tuple(int(t) - 1 for t in off)
+            for off in zip(*np.nonzero(structure))]
+    offs = [o for o in offs if o != (0,) * ndim]
+
+    shape = x.shape
+    big_c = jnp.int32(np.iinfo(np.int32).max // 4)
+    seeded = markers != 0
+    cost0 = jnp.where(seeded, x.astype(jnp.int32), big_c)
+    steps0 = jnp.where(seeded, jnp.int32(0), big_c)
+    lab0 = jnp.where(seeded, markers.astype(jnp.int32), jnp.int32(0))
+    xi = x.astype(jnp.int32)
+    pads = [(1, 1)] * ndim
+
+    def step(carry):
+        c, s, l, _ = carry
+        cp = jnp.pad(c, pads, constant_values=big_c)
+        sp = jnp.pad(s, pads, constant_values=big_c)
+        lp = jnp.pad(l, pads, constant_values=0)
+        nc, ns, nl = c, s, l
+        for off in offs:
+            start = [1 + o for o in off]
+            limit = [1 + o + sz for o, sz in zip(off, shape)]
+            cc = jnp.maximum(lax.slice(cp, start, limit), xi)
+            cs = lax.slice(sp, start, limit) + 1
+            cl = lax.slice(lp, start, limit)
+            valid = cl != 0
+            better = valid & (
+                (cc < nc)
+                | ((cc == nc) & (cs < ns))
+                | ((cc == nc) & (cs == ns) & (cl < nl)))
+            nc = jnp.where(better, cc, nc)
+            ns = jnp.where(better, cs, ns)
+            nl = jnp.where(better, cl, nl)
+        changed = jnp.any((nc != c) | (ns != s) | (nl != l))
+        return nc, ns, nl, changed
+
+    _, _, lab, _ = lax.while_loop(
+        lambda carry: carry[3], step,
+        (cost0, steps0, lab0, jnp.asarray(True)))
+    return lab.astype(markers.dtype)

@@ -402,6 +402,52 @@ def main():
     want = ndi.laplace(np.asarray(xg, np.float64))
     ok &= check("laplace f32 vs scipy", got, want, 2e-5)
 
+    # order-statistic / morphology / distance tier on chip: these are
+    # comparison-and-select ops (no accumulation), so chip results must
+    # be EXACT vs scipy; correlate (conv path) and EDT (min-plus adds)
+    # are f32-tolerance
+    got = np.asarray(jax.jit(lambda a: ed.median_filter(
+        a, 3))(jnp.asarray(xg)))
+    want = ndi.median_filter(xg, 3)
+    ok &= check("median_filter chip exact vs scipy", got, want, 0.0)
+    got = np.asarray(jax.jit(lambda a: ed.grey_dilation(
+        a, size=(3, 4)))(jnp.asarray(xg)))
+    want = ndi.grey_dilation(xg, size=(3, 4))
+    ok &= check("grey_dilation chip exact vs scipy", got, want, 0.0)
+    wk = rng.standard_normal((3, 3))
+    got = np.asarray(jax.jit(lambda a: ed.correlate(
+        a, wk, mode='wrap'))(jnp.asarray(xg)))
+    want = ndi.correlate(np.asarray(xg, np.float64), wk, mode='wrap')
+    ok &= check("correlate ND conv f32 vs scipy f64", got, want, 2e-5)
+    blob = (ndi.gaussian_filter(rng.standard_normal((48, 52)), 2.0)
+            > 0.05)
+    got = np.asarray(jax.jit(lambda a: ed.binary_erosion(
+        a, iterations=2))(jnp.asarray(blob)))
+    want = ndi.binary_erosion(blob, iterations=2)
+    ok &= check("binary_erosion x2 chip exact", got.astype(np.float64),
+                want.astype(np.float64), 0.0)
+    mask = blob.copy(); mask.flat[0] = False
+    got = np.asarray(jax.jit(lambda a: ed.distance_transform_edt(
+        a))(jnp.asarray(mask)))
+    want = ndi.distance_transform_edt(mask)
+    ok &= check("distance_transform_edt f32 vs scipy f64", got, want,
+                1e-4)
+    got = np.asarray(jax.jit(lambda a: ed.distance_transform_cdt(
+        a, 'taxicab'))(jnp.asarray(mask))).astype(np.float64)
+    want = ndi.distance_transform_cdt(mask, 'taxicab').astype(np.float64)
+    ok &= check("distance_transform_cdt chip exact", got, want, 0.0)
+    lg, ng = ed.label(blob)
+    lw, nw = ndi.label(blob)
+    ok &= check("label count chip vs scipy",
+                np.asarray([float(ng)]), np.asarray([float(nw)]), 0.0)
+    ok &= check("label values chip vs scipy", lg.astype(np.float64),
+                lw.astype(np.float64), 0.0)
+    sg = np.asarray(ed.sum_labels(xg[:48, :48], lw[:48, :48],
+                                  np.arange(1, nw + 1)))
+    sw = ndi.sum_labels(np.asarray(xg[:48, :48], np.float64),
+                        lw[:48, :48], np.arange(1, nw + 1))
+    ok &= check("sum_labels segment_sum f32 vs scipy f64", sg, sw, 2e-4)
+
     # keyed diffeomorphic augmentation: jitted chip call == the explicit
     # grid -> field -> exponential -> warp composition on chip
     key = jax.random.PRNGKey(7)
