@@ -157,6 +157,7 @@ from elasticdeform_tpu.measure import (
     minimum,
     minimum_position,
     standard_deviation,
+    sum,
     sum_labels,
     value_indices,
     variance,
@@ -207,6 +208,7 @@ __all__ = [
     "minimum",
     "minimum_position",
     "standard_deviation",
+    "sum",
     "sum_labels",
     "value_indices",
     "variance",

@@ -771,9 +771,12 @@ def compose_displacement_fields(u, v, *, order=1, mode='nearest',
     ``w(x) = v(x) + u(x + v(x))``.
 
     Both fields have shape ``(naxis, *shape)`` (the layout
-    :func:`displacement_field` produces). Warping with ``w`` equals
-    warping with ``v`` then ``u`` — the standard composition used to
-    accumulate registration updates without resampling the image twice.
+    :func:`displacement_field` produces). Under the library's pull-back
+    convention (:func:`deform_field`), applying ``w`` to an image equals
+    applying ``u`` first, then applying ``v`` to the result
+    (``warp_w(X) == warp_v(warp_u(X))``) — the standard composition used
+    to accumulate registration updates without resampling the image
+    twice.
     ``u`` is interpolated at the displaced positions with the given
     ``order``/``mode``. Traceable and differentiable w.r.t. both fields.
     """
@@ -987,8 +990,41 @@ def spline_filter(X, *, order=3, axis=None):
     return X
 
 
+def _resolve_output(X, output):
+    """scipy filter ``output=`` contract: ``None`` means the result
+    takes the input's dtype; a dtype-like selects the result dtype; a
+    numpy array is filled host-side and returned (eager only — under
+    ``jit`` pass a dtype instead)."""
+    import numpy as _np
+    if output is None:
+        return jnp.asarray(X).dtype, None
+    if isinstance(output, _np.ndarray):
+        if output.shape != _np.shape(X):
+            raise RuntimeError("output shape not correct")
+        return output.dtype, output
+    return jnp.dtype(output), None
+
+
+def _finish_filter(result, dtype, out_array=None):
+    """Cast a float filter result to scipy's output dtype: integer and
+    bool results truncate toward zero (the C double->int cast scipy's
+    filter tier applies — verified against scipy 1.17: correlate1d of
+    int32 gives trunc(-0.9) == 0, uniform_filter1d trunc(1.5) == 1)."""
+    import numpy as _np
+    dtype = jnp.dtype(dtype)
+    if result.dtype != dtype:
+        if (jnp.issubdtype(dtype, jnp.integer)
+                or dtype == jnp.bool_):
+            result = jnp.trunc(result)
+        result = result.astype(dtype)
+    if out_array is not None:
+        out_array[...] = _np.asarray(result)
+        return out_array
+    return result
+
+
 def gaussian_filter1d(X, sigma, axis=-1, *, order=0, mode='reflect',
-                      cval=0.0, truncate=4.0, radius=None):
+                      cval=0.0, truncate=4.0, radius=None, output=None):
     """Gaussian (derivative-)filter along one axis
     (``scipy.ndimage.gaussian_filter1d`` equivalent).
 
@@ -1003,24 +1039,35 @@ def gaussian_filter1d(X, sigma, axis=-1, *, order=0, mode='reflect',
     MXU-resident, traceable, and exactly differentiable by linearity.
     Registration use: demons-style field regularization and similarity
     pyramids (see docs/source/registration.rst).
+
+    ``output`` follows scipy: ``None`` keeps the input dtype (integer
+    results truncate toward zero like scipy's C cast); a dtype-like
+    selects the result dtype; a numpy array is filled (eager only).
     """
     from elasticdeform_tpu.ops.filters import apply_filter1d
-    return apply_filter1d(jnp.asarray(X), axis, sigma, order, mode, cval,
-                          truncate, radius)
+    dtype, out_array = _resolve_output(X, output)
+    res = apply_filter1d(jnp.asarray(X), axis, sigma, order, mode, cval,
+                         truncate, radius)
+    return _finish_filter(res, dtype, out_array)
 
 
 def gaussian_filter(X, sigma, *, order=0, mode='reflect', cval=0.0,
-                    truncate=4.0, radius=None, axes=None):
+                    truncate=4.0, radius=None, axes=None, output=None):
     """Multi-axis Gaussian filter (``scipy.ndimage.gaussian_filter``
     equivalent): :func:`gaussian_filter1d` applied separably along
     ``axes`` (default: all axes).
 
-    ``sigma``/``order``/``radius`` may be scalars or per-axis sequences
-    (matching ``axes``). To smooth a displacement field's spatial axes
-    while carrying the component axis, pass ``axes=range(1, naxis+1)``
-    (or per-axis sigmas with ``sigma=0`` meaning skip, as in scipy).
+    ``sigma``/``order``/``radius``/``mode`` may be scalars or per-axis
+    sequences (matching ``axes``). To smooth a displacement field's
+    spatial axes while carrying the component axis, pass
+    ``axes=range(1, naxis+1)`` (or per-axis sigmas with ``sigma=0``
+    meaning skip, as in scipy). ``output`` follows scipy (see
+    :func:`gaussian_filter1d`); for integer outputs each 1-D pass
+    truncates before feeding the next axis, exactly like scipy's
+    sequential in-place passes.
     """
     X = jnp.asarray(X)
+    dtype, out_array = _resolve_output(X, output)
     if axes is None:
         axes = tuple(range(X.ndim))
     elif isinstance(axes, int):
@@ -1039,24 +1086,29 @@ def gaussian_filter(X, sigma, *, order=0, mode='reflect', cval=0.0,
     sigmas = per_axis(sigma, "sigma")
     orders = per_axis(order, "order")
     radii = per_axis(radius, "radius")
-    for ax, s, o, r in zip(axes, sigmas, orders, radii):
+    modes = per_axis(mode, "mode")
+    for ax, s, o, r, md in zip(axes, sigmas, orders, radii, modes):
         if float(s) <= 1e-15:
             continue                      # scipy: sigma ~0 skips the axis
-        X = gaussian_filter1d(X, s, ax, order=o, mode=mode, cval=cval,
-                              truncate=truncate, radius=r)
-    return X
+        X = gaussian_filter1d(X, s, ax, order=o, mode=md, cval=cval,
+                              truncate=truncate, radius=r, output=dtype)
+    return _finish_filter(X.astype(dtype) if X.dtype != dtype else X,
+                          dtype, out_array)
 
 
 def gaussian_laplace(X, sigma, *, mode='reflect', cval=0.0, truncate=4.0,
-                     radius=None, axes=None):
+                     radius=None, axes=None, output=None):
     """Laplace of Gaussian (``scipy.ndimage.gaussian_laplace``
     equivalent): the sum over ``axes`` of the second-derivative Gaussian
     filter along each axis (smoothing at ``sigma`` along the others) —
     the standard blob/edge detector and the multi-scale pyramid band
     filter. Built on :func:`gaussian_filter`, so it is MXU-resident,
     traceable, and exactly differentiable; ``sigma`` may be per-axis.
+    ``output`` follows scipy (integer terms truncate per pass before
+    the sum, like scipy's in-place accumulation).
     """
     X = jnp.asarray(X)
+    dtype, out_array = _resolve_output(X, output)
     if axes is None:
         axes = tuple(range(X.ndim))
     elif isinstance(axes, int):
@@ -1067,20 +1119,25 @@ def gaussian_laplace(X, sigma, *, mode='reflect', cval=0.0, truncate=4.0,
         orders = [0] * len(axes)
         orders[i] = 2
         term = gaussian_filter(X, sigma, order=orders, mode=mode, cval=cval,
-                               truncate=truncate, radius=radius, axes=axes)
+                               truncate=truncate, radius=radius, axes=axes,
+                               output=dtype)
         out = term if out is None else out + term
-    return out
+    return _finish_filter(out, dtype, out_array)
 
 
 def gaussian_gradient_magnitude(X, sigma, *, mode='reflect', cval=0.0,
-                                truncate=4.0, radius=None, axes=None):
+                                truncate=4.0, radius=None, axes=None,
+                                output=None):
     """Gradient-magnitude of Gaussian
     (``scipy.ndimage.gaussian_gradient_magnitude`` equivalent):
     ``sqrt(sum_k (d/dx_k G*X)^2)`` over ``axes``. Built on
     :func:`gaussian_filter`; traceable and differentiable away from
-    zero-gradient voxels.
+    zero-gradient voxels. ``output`` follows scipy (integer terms are
+    truncated per derivative pass and the final sqrt truncates, like
+    scipy's unsafe in-place sqrt).
     """
     X = jnp.asarray(X)
+    dtype, out_array = _resolve_output(X, output)
     if axes is None:
         axes = tuple(range(X.ndim))
     elif isinstance(axes, int):
@@ -1091,28 +1148,35 @@ def gaussian_gradient_magnitude(X, sigma, *, mode='reflect', cval=0.0,
         orders = [0] * len(axes)
         orders[i] = 1
         term = gaussian_filter(X, sigma, order=orders, mode=mode, cval=cval,
-                               truncate=truncate, radius=radius, axes=axes)
+                               truncate=truncate, radius=radius, axes=axes,
+                               output=dtype)
         acc = term * term if acc is None else acc + term * term
-    return jnp.sqrt(acc)
+    return _finish_filter(jnp.sqrt(acc.astype(jnp.float64
+                                              if jax.config.jax_enable_x64
+                                              else jnp.float32)),
+                          dtype, out_array)
 
 
 def correlate1d(X, weights, axis=-1, *, mode='reflect', cval=0.0,
-                origin=0):
+                origin=0, output=None):
     """1-D correlation with an arbitrary tap sequence
     (``scipy.ndimage.correlate1d`` equivalent): tap
     ``len(weights) // 2 + origin`` aligns with the output position.
     Like the Gaussian family, runs as one precomputed HIGHEST-precision
     banded matmul along the axis (boundary fold included), so any
     user-supplied separable kernel is MXU-resident, traceable, and
-    exactly differentiable by linearity.
+    exactly differentiable by linearity. ``output`` follows scipy
+    (integer results truncate toward zero).
     """
     from elasticdeform_tpu.ops.filters import apply_correlate1d
-    return apply_correlate1d(jnp.asarray(X), weights, axis, mode, cval,
-                             origin)
+    dtype, out_array = _resolve_output(X, output)
+    res = apply_correlate1d(jnp.asarray(X), weights, axis, mode, cval,
+                            origin)
+    return _finish_filter(res, dtype, out_array)
 
 
 def convolve1d(X, weights, axis=-1, *, mode='reflect', cval=0.0,
-               origin=0):
+               origin=0, output=None):
     """1-D convolution (``scipy.ndimage.convolve1d`` equivalent):
     correlation with the reversed taps and mirrored origin."""
     import numpy as _np
@@ -1121,26 +1185,35 @@ def convolve1d(X, weights, axis=-1, *, mode='reflect', cval=0.0,
     if not len(weights) & 1:
         origin -= 1
     return correlate1d(X, weights, axis, mode=mode, cval=cval,
-                       origin=origin)
+                       origin=origin, output=output)
 
 
 def uniform_filter1d(X, size, axis=-1, *, mode='reflect', cval=0.0,
-                     origin=0):
+                     origin=0, output=None):
     """Uniform (box) filter along one axis
-    (``scipy.ndimage.uniform_filter1d`` equivalent)."""
+    (``scipy.ndimage.uniform_filter1d`` equivalent). Sums with unit
+    taps and divides by ``size`` afterwards, like scipy's running sum —
+    pre-normalized ``1/size`` taps would put exact integer means a ULP
+    below the integer and break the int-output truncation."""
     size = int(size)
     if size < 1:
         raise ValueError("size must be at least 1")
     import numpy as _np
-    return correlate1d(X, _np.full(size, 1.0 / size), axis, mode=mode,
-                       cval=cval, origin=origin)
+    from elasticdeform_tpu.ops.filters import apply_correlate1d
+    dtype, out_array = _resolve_output(X, output)
+    res = apply_correlate1d(jnp.asarray(X), _np.ones(size), axis, mode,
+                            cval, origin) / size
+    return _finish_filter(res, dtype, out_array)
 
 
 def uniform_filter(X, size=3, *, mode='reflect', cval=0.0, origin=0,
-                   axes=None):
+                   axes=None, output=None):
     """Multi-axis uniform filter (``scipy.ndimage.uniform_filter``
-    equivalent); ``size``/``origin`` may be per-axis sequences."""
+    equivalent); ``size``/``origin``/``mode`` may be per-axis
+    sequences. ``output`` follows scipy (integer results truncate per
+    1-D pass, matching scipy's sequential in-place passes)."""
     X = jnp.asarray(X)
+    dtype, out_array = _resolve_output(X, output)
     if axes is None:
         axes = tuple(range(X.ndim))
     elif isinstance(axes, int):
@@ -1158,47 +1231,56 @@ def uniform_filter(X, size=3, *, mode='reflect', cval=0.0, origin=0,
 
     sizes = per_axis(size, "size")
     origins = per_axis(origin, "origin")
-    for ax, s, o in zip(axes, sizes, origins):
+    modes = per_axis(mode, "mode")
+    for ax, s, o, md in zip(axes, sizes, origins, modes):
         if int(s) == 1 and int(o) == 0:
             continue
-        X = uniform_filter1d(X, s, ax, mode=mode, cval=cval, origin=o)
-    return X
+        X = uniform_filter1d(X, s, ax, mode=md, cval=cval, origin=o,
+                             output=dtype)
+    return _finish_filter(X.astype(dtype) if X.dtype != dtype else X,
+                          dtype, out_array)
 
 
 def _derivative_smooth(X, axis, deriv_taps, smooth_taps, mode, cval,
-                       axes=None):
+                       axes=None, output=None):
     X = jnp.asarray(X)
+    dtype, out_array = _resolve_output(X, output)
     if axes is None:
         axes = tuple(range(X.ndim))
     axes = tuple(a % X.ndim for a in axes)
     axis = axis % X.ndim
-    out = correlate1d(X, deriv_taps, axis, mode=mode, cval=cval)
+    out = correlate1d(X, deriv_taps, axis, mode=mode, cval=cval,
+                      output=dtype)
     for ax in axes:
         if ax != axis:
-            out = correlate1d(out, smooth_taps, ax, mode=mode, cval=cval)
-    return out
+            out = correlate1d(out, smooth_taps, ax, mode=mode, cval=cval,
+                              output=dtype)
+    return _finish_filter(out, dtype, out_array)
 
 
-def sobel(X, axis=-1, *, mode='reflect', cval=0.0, axes=None):
+def sobel(X, axis=-1, *, mode='reflect', cval=0.0, axes=None,
+          output=None):
     """Sobel edge filter (``scipy.ndimage.sobel`` equivalent):
     ``[-1, 0, 1]`` derivative along ``axis``, ``[1, 2, 1]`` smoothing
     along the remaining ``axes``."""
     return _derivative_smooth(X, axis, [-1.0, 0.0, 1.0], [1.0, 2.0, 1.0],
-                              mode, cval, axes)
+                              mode, cval, axes, output)
 
 
-def prewitt(X, axis=-1, *, mode='reflect', cval=0.0, axes=None):
+def prewitt(X, axis=-1, *, mode='reflect', cval=0.0, axes=None,
+            output=None):
     """Prewitt edge filter (``scipy.ndimage.prewitt`` equivalent):
     ``[-1, 0, 1]`` derivative along ``axis``, ``[1, 1, 1]`` smoothing
     along the remaining ``axes``."""
     return _derivative_smooth(X, axis, [-1.0, 0.0, 1.0], [1.0, 1.0, 1.0],
-                              mode, cval, axes)
+                              mode, cval, axes, output)
 
 
-def laplace(X, *, mode='reflect', cval=0.0, axes=None):
+def laplace(X, *, mode='reflect', cval=0.0, axes=None, output=None):
     """Discrete Laplacian (``scipy.ndimage.laplace`` equivalent): the
     sum over ``axes`` of the second-difference filter ``[1, -2, 1]``."""
     X = jnp.asarray(X)
+    dtype, out_array = _resolve_output(X, output)
     if axes is None:
         axes = tuple(range(X.ndim))
     elif isinstance(axes, int):
@@ -1206,108 +1288,135 @@ def laplace(X, *, mode='reflect', cval=0.0, axes=None):
     axes = tuple(a % X.ndim for a in axes)
     out = None
     for ax in axes:
-        term = correlate1d(X, [1.0, -2.0, 1.0], ax, mode=mode, cval=cval)
+        term = correlate1d(X, [1.0, -2.0, 1.0], ax, mode=mode, cval=cval,
+                           output=dtype)
         out = term if out is None else out + term
-    return out
+    return _finish_filter(out, dtype, out_array)
 
 
-def correlate(X, weights, *, mode='reflect', cval=0.0, origin=0):
+def correlate(X, weights, *, mode='reflect', cval=0.0, origin=0,
+              output=None):
     """N-D correlation with an arbitrary kernel
     (``scipy.ndimage.correlate`` equivalent): boundary fold as static
     index pads + one VALID ``lax.conv_general_dilated`` at HIGHEST
-    precision; exactly differentiable by linearity."""
+    precision; exactly differentiable by linearity. ``output`` follows
+    scipy (integer results truncate toward zero)."""
     from elasticdeform_tpu.ops.filters import apply_correlate
-    return apply_correlate(jnp.asarray(X), weights, mode, cval, origin)
+    dtype, out_array = _resolve_output(X, output)
+    res = apply_correlate(jnp.asarray(X), weights, mode, cval, origin)
+    return _finish_filter(res, dtype, out_array)
 
 
-def convolve(X, weights, *, mode='reflect', cval=0.0, origin=0):
+def convolve(X, weights, *, mode='reflect', cval=0.0, origin=0,
+             output=None):
     """N-D convolution (``scipy.ndimage.convolve`` equivalent):
     correlation with the reversed kernel and mirrored origins."""
     from elasticdeform_tpu.ops.filters import apply_correlate
-    return apply_correlate(jnp.asarray(X), weights, mode, cval, origin,
-                           convolution=True)
+    dtype, out_array = _resolve_output(X, output)
+    res = apply_correlate(jnp.asarray(X), weights, mode, cval, origin,
+                          convolution=True)
+    return _finish_filter(res, dtype, out_array)
 
 
 def minimum_filter1d(X, size, axis=-1, *, mode='reflect', cval=0.0,
-                     origin=0):
+                     origin=0, output=None):
     """1-D minimum filter (``scipy.ndimage.minimum_filter1d``
     equivalent): boundary pad + ``lax.reduce_window`` — TPU's native
     windowed reduction; dtype-preserving (no arithmetic)."""
     from elasticdeform_tpu.ops import morphology as _m
-    return _m.min_max_filter1d(X, size, axis, mode, cval, origin, True)
+    dtype, out_array = _resolve_output(X, output)
+    res = _m.min_max_filter1d(X, size, axis, mode, cval, origin, True)
+    return _finish_filter(res, dtype, out_array)
 
 
 def maximum_filter1d(X, size, axis=-1, *, mode='reflect', cval=0.0,
-                     origin=0):
+                     origin=0, output=None):
     """1-D maximum filter (``scipy.ndimage.maximum_filter1d``
     equivalent)."""
     from elasticdeform_tpu.ops import morphology as _m
-    return _m.min_max_filter1d(X, size, axis, mode, cval, origin, False)
+    dtype, out_array = _resolve_output(X, output)
+    res = _m.min_max_filter1d(X, size, axis, mode, cval, origin, False)
+    return _finish_filter(res, dtype, out_array)
 
 
 def minimum_filter(X, size=None, footprint=None, *, mode='reflect',
-                   cval=0.0, origin=0, axes=None):
+                   cval=0.0, origin=0, axes=None, output=None):
     """N-D minimum filter (``scipy.ndimage.minimum_filter`` equivalent).
     Box footprints decompose separably into per-axis ``reduce_window``
     calls exactly as scipy does; arbitrary footprints reduce a static
     stack of shifted slices (no gather — stencils are displacement-free)."""
     from elasticdeform_tpu.ops import morphology as _m
-    return _m.min_max_filter(X, size, footprint, None, mode, cval,
-                             origin, True, axes)
+    dtype, out_array = _resolve_output(X, output)
+    res = _m.min_max_filter(X, size, footprint, None, mode, cval,
+                            origin, True, axes)
+    return _finish_filter(res, dtype, out_array)
 
 
 def maximum_filter(X, size=None, footprint=None, *, mode='reflect',
-                   cval=0.0, origin=0, axes=None):
+                   cval=0.0, origin=0, axes=None, output=None):
     """N-D maximum filter (``scipy.ndimage.maximum_filter`` equivalent)."""
     from elasticdeform_tpu.ops import morphology as _m
-    return _m.min_max_filter(X, size, footprint, None, mode, cval,
-                             origin, False, axes)
+    dtype, out_array = _resolve_output(X, output)
+    res = _m.min_max_filter(X, size, footprint, None, mode, cval,
+                            origin, False, axes)
+    return _finish_filter(res, dtype, out_array)
 
 
 def rank_filter(X, rank, size=None, footprint=None, *, mode='reflect',
-                cval=0.0, origin=0, axes=None):
+                cval=0.0, origin=0, axes=None, output=None):
     """Order-statistic filter (``scipy.ndimage.rank_filter``
     equivalent): the footprint taps are stacked along a new trailing
     axis, ``jnp.sort``-ed (one k-lane sort vectorized over every output
     voxel), and the requested rank is taken. Negative ranks count from
     the top; rank 0 / k-1 short-circuit to min/max filters."""
     from elasticdeform_tpu.ops import morphology as _m
-    return _m.rank_filter(X, rank, size, footprint, mode, cval, origin,
-                          'rank', axes)
+    dtype, out_array = _resolve_output(X, output)
+    res = _m.rank_filter(X, rank, size, footprint, mode, cval, origin,
+                         'rank', axes)
+    return _finish_filter(res, dtype, out_array)
 
 
 def median_filter(X, size=None, footprint=None, *, mode='reflect',
-                  cval=0.0, origin=0, axes=None):
+                  cval=0.0, origin=0, axes=None, output=None):
     """Median filter (``scipy.ndimage.median_filter`` equivalent):
     ``rank_filter`` at rank ``footprint_size // 2``."""
     from elasticdeform_tpu.ops import morphology as _m
-    return _m.rank_filter(X, 0, size, footprint, mode, cval, origin,
-                          'median', axes)
+    dtype, out_array = _resolve_output(X, output)
+    res = _m.rank_filter(X, 0, size, footprint, mode, cval, origin,
+                         'median', axes)
+    return _finish_filter(res, dtype, out_array)
 
 
 def percentile_filter(X, percentile, size=None, footprint=None, *,
-                      mode='reflect', cval=0.0, origin=0, axes=None):
+                      mode='reflect', cval=0.0, origin=0, axes=None,
+                      output=None):
     """Percentile filter (``scipy.ndimage.percentile_filter``
     equivalent; scipy's exact ``int(k * p / 100)`` rank rule)."""
     from elasticdeform_tpu.ops import morphology as _m
-    return _m.rank_filter(X, percentile, size, footprint, mode, cval,
-                          origin, 'percentile', axes)
+    dtype, out_array = _resolve_output(X, output)
+    res = _m.rank_filter(X, percentile, size, footprint, mode, cval,
+                         origin, 'percentile', axes)
+    return _finish_filter(res, dtype, out_array)
 
 
 def grey_erosion(X, size=None, footprint=None, structure=None, *,
-                 mode='reflect', cval=0.0, origin=0, axes=None):
+                 mode='reflect', cval=0.0, origin=0, axes=None,
+                 output=None):
     """Greyscale erosion (``scipy.ndimage.grey_erosion`` equivalent):
     ``min(input(y + z) - structure(z))`` over the footprint; flat
     structures reduce to :func:`minimum_filter`."""
     from elasticdeform_tpu.ops import morphology as _m
     if size is None and footprint is None and structure is None:
         raise ValueError("size, footprint, or structure must be specified")
-    return _m.min_max_filter(X, size, footprint, structure, mode, cval,
-                             origin, True, axes)
+    dtype, out_array = _resolve_output(X, output)
+    res = _m.min_max_filter(X, size, footprint, structure, mode, cval,
+                            origin, True, axes)
+    return _finish_filter(res, dtype, out_array)
 
 
 def grey_dilation(X, size=None, footprint=None, structure=None, *,
-                  mode='reflect', cval=0.0, origin=0, axes=None):
+                  mode='reflect', cval=0.0, origin=0, axes=None,
+                  output=None):
     """Greyscale dilation (``scipy.ndimage.grey_dilation`` equivalent):
     footprint/structure reflected and origin mirrored as scipy does."""
     from elasticdeform_tpu.ops import morphology as _m
@@ -1339,76 +1448,96 @@ def grey_dilation(X, size=None, footprint=None, structure=None, *,
             sz = size[ii]
         if not sz & 1:
             origins[ii] -= 1
-    return _m.min_max_filter(X, size, footprint, structure, mode, cval,
-                             origins, False, axes_t)
+    dtype, out_array = _resolve_output(X, output)
+    res = _m.min_max_filter(X, size, footprint, structure, mode, cval,
+                            origins, False, axes_t)
+    return _finish_filter(res, dtype, out_array)
 
 
 def grey_opening(X, size=None, footprint=None, structure=None, *,
-                 mode='reflect', cval=0.0, origin=0, axes=None):
+                 mode='reflect', cval=0.0, origin=0, axes=None,
+                 output=None):
     """Greyscale opening: erosion then dilation
     (``scipy.ndimage.grey_opening`` equivalent)."""
+    dtype, out_array = _resolve_output(X, output)
     tmp = grey_erosion(X, size, footprint, structure, mode=mode,
                        cval=cval, origin=origin, axes=axes)
-    return grey_dilation(tmp, size, footprint, structure, mode=mode,
-                         cval=cval, origin=origin, axes=axes)
+    res = grey_dilation(tmp, size, footprint, structure, mode=mode,
+                        cval=cval, origin=origin, axes=axes)
+    return _finish_filter(res, dtype, out_array)
 
 
 def grey_closing(X, size=None, footprint=None, structure=None, *,
-                 mode='reflect', cval=0.0, origin=0, axes=None):
+                 mode='reflect', cval=0.0, origin=0, axes=None,
+                 output=None):
     """Greyscale closing: dilation then erosion
     (``scipy.ndimage.grey_closing`` equivalent)."""
+    dtype, out_array = _resolve_output(X, output)
     tmp = grey_dilation(X, size, footprint, structure, mode=mode,
                         cval=cval, origin=origin, axes=axes)
-    return grey_erosion(tmp, size, footprint, structure, mode=mode,
-                        cval=cval, origin=origin, axes=axes)
+    res = grey_erosion(tmp, size, footprint, structure, mode=mode,
+                       cval=cval, origin=origin, axes=axes)
+    return _finish_filter(res, dtype, out_array)
 
 
 def morphological_gradient(X, size=None, footprint=None, structure=None,
                            *, mode='reflect', cval=0.0, origin=0,
-                           axes=None):
+                           axes=None, output=None):
     """Morphological gradient: dilation minus erosion
     (``scipy.ndimage.morphological_gradient`` equivalent)."""
-    return (grey_dilation(X, size, footprint, structure, mode=mode,
-                          cval=cval, origin=origin, axes=axes)
-            - grey_erosion(X, size, footprint, structure, mode=mode,
-                           cval=cval, origin=origin, axes=axes))
+    dtype, out_array = _resolve_output(X, output)
+    res = (grey_dilation(X, size, footprint, structure, mode=mode,
+                         cval=cval, origin=origin, axes=axes)
+           - grey_erosion(X, size, footprint, structure, mode=mode,
+                          cval=cval, origin=origin, axes=axes))
+    return _finish_filter(res, dtype, out_array)
 
 
 def morphological_laplace(X, size=None, footprint=None, structure=None,
                           *, mode='reflect', cval=0.0, origin=0,
-                          axes=None):
+                          axes=None, output=None):
     """Morphological Laplace: dilation + erosion − 2·input
     (``scipy.ndimage.morphological_laplace`` equivalent)."""
     X = jnp.asarray(X)
-    return (grey_dilation(X, size, footprint, structure, mode=mode,
+    dtype, out_array = _resolve_output(X, output)
+    res = (grey_dilation(X, size, footprint, structure, mode=mode,
+                         cval=cval, origin=origin, axes=axes)
+           + grey_erosion(X, size, footprint, structure, mode=mode,
                           cval=cval, origin=origin, axes=axes)
-            + grey_erosion(X, size, footprint, structure, mode=mode,
-                           cval=cval, origin=origin, axes=axes)
-            - X - X)
+           - X - X)
+    return _finish_filter(res, dtype, out_array)
 
 
 def white_tophat(X, size=None, footprint=None, structure=None, *,
-                 mode='reflect', cval=0.0, origin=0, axes=None):
+                 mode='reflect', cval=0.0, origin=0, axes=None,
+                 output=None):
     """White top-hat: input minus its opening
     (``scipy.ndimage.white_tophat`` equivalent)."""
     X = jnp.asarray(X)
+    dtype, out_array = _resolve_output(X, output)
     tmp = grey_opening(X, size, footprint, structure, mode=mode,
                        cval=cval, origin=origin, axes=axes)
     if X.dtype == jnp.bool_ and tmp.dtype == jnp.bool_:
-        return X ^ tmp
-    return X - tmp
+        res = X ^ tmp
+    else:
+        res = X - tmp
+    return _finish_filter(res, dtype, out_array)
 
 
 def black_tophat(X, size=None, footprint=None, structure=None, *,
-                 mode='reflect', cval=0.0, origin=0, axes=None):
+                 mode='reflect', cval=0.0, origin=0, axes=None,
+                 output=None):
     """Black top-hat: closing minus input
     (``scipy.ndimage.black_tophat`` equivalent)."""
     X = jnp.asarray(X)
+    dtype, out_array = _resolve_output(X, output)
     tmp = grey_closing(X, size, footprint, structure, mode=mode,
                        cval=cval, origin=origin, axes=axes)
     if X.dtype == jnp.bool_ and tmp.dtype == jnp.bool_:
-        return tmp ^ X
-    return tmp - X
+        res = tmp ^ X
+    else:
+        res = tmp - X
+    return _finish_filter(res, dtype, out_array)
 
 
 def binary_erosion(X, structure=None, iterations=1, mask=None, *,
@@ -1498,15 +1627,18 @@ def binary_hit_or_miss(X, structure1=None, structure2=None, *,
 
 
 def generic_laplace(X, derivative2, *, mode='reflect', cval=0.0,
-                    extra_arguments=(), extra_keywords=None, axes=None):
+                    extra_arguments=(), extra_keywords=None, axes=None,
+                    output=None):
     """N-D Laplace with a user second-derivative callable
     (``scipy.ndimage.generic_laplace`` equivalent). The callable is
     traced, not called per voxel: signature
     ``derivative2(input, axis, mode, cval, *extra_arguments,
     **extra_keywords) -> array`` (scipy's in-place ``output`` argument
-    is dropped — functional JAX returns the array)."""
+    is dropped from the callable — the final ``output=`` dtype/array
+    contract is applied to the sum)."""
     extra_keywords = extra_keywords or {}
     X = jnp.asarray(X)
+    dtype, out_array = _resolve_output(X, output)
     if axes is None:
         axes = tuple(range(X.ndim))
     elif isinstance(axes, int):
@@ -1517,17 +1649,21 @@ def generic_laplace(X, derivative2, *, mode='reflect', cval=0.0,
         term = derivative2(X, ax, mode, cval, *extra_arguments,
                            **extra_keywords)
         out = term if out is None else out + term
-    return out if out is not None else jnp.zeros_like(X)
+    if out is None:
+        out = jnp.zeros_like(X)
+    return _finish_filter(out, dtype, out_array)
 
 
 def generic_gradient_magnitude(X, derivative, *, mode='reflect',
                                cval=0.0, extra_arguments=(),
-                               extra_keywords=None, axes=None):
+                               extra_keywords=None, axes=None,
+                               output=None):
     """Gradient magnitude with a user derivative callable
     (``scipy.ndimage.generic_gradient_magnitude`` equivalent; same
     traced-callable convention as :func:`generic_laplace`)."""
     extra_keywords = extra_keywords or {}
     X = jnp.asarray(X)
+    dtype, out_array = _resolve_output(X, output)
     if axes is None:
         axes = tuple(range(X.ndim))
     elif isinstance(axes, int):
@@ -1539,7 +1675,9 @@ def generic_gradient_magnitude(X, derivative, *, mode='reflect',
                        **extra_keywords)
         d = d * d
         out = d if out is None else out + d
-    return jnp.sqrt(out) if out is not None else jnp.zeros_like(X)
+    if out is None:
+        return _finish_filter(jnp.zeros_like(X), dtype, out_array)
+    return _finish_filter(jnp.sqrt(out), dtype, out_array)
 
 
 def generic_filter(X, function, size=None, footprint=None, *,

@@ -211,18 +211,28 @@ def standard_deviation(input, labels=None, index=None):
     return np.sqrt(v)
 
 
+def _fill_empty(vals, input, seg, K):
+    """Indices selecting no voxels get 0, matching scipy's array-index
+    fill (scipy's scalar path raises instead; filling is strictly more
+    useful and keeps the op traceable)."""
+    c = _count(input, seg, K)
+    return jnp.where(c > 0, vals, jnp.zeros((), vals.dtype))
+
+
 def minimum(input, labels=None, index=None):
-    """``scipy.ndimage.minimum``: per-region minima (``segment_min``)."""
+    """``scipy.ndimage.minimum``: per-region minima (``segment_min``);
+    empty regions give 0 as in scipy."""
     input, seg, K, _, scalar = _norm_labels_index(input, labels, index)
     m = _segment(input, seg, K, jax.ops.segment_min, None)
-    return _finish(m, scalar)
+    return _finish(_fill_empty(m, input, seg, K), scalar)
 
 
 def maximum(input, labels=None, index=None):
-    """``scipy.ndimage.maximum``: per-region maxima (``segment_max``)."""
+    """``scipy.ndimage.maximum``: per-region maxima (``segment_max``);
+    empty regions give 0 as in scipy."""
     input, seg, K, _, scalar = _norm_labels_index(input, labels, index)
     m = _segment(input, seg, K, jax.ops.segment_max, None)
-    return _finish(m, scalar)
+    return _finish(_fill_empty(m, input, seg, K), scalar)
 
 
 def _positions(input, seg, K, want_min):
@@ -237,7 +247,7 @@ def _positions(input, seg, K, want_min):
     ridx = jnp.where(hit, jnp.arange(n, dtype=jnp.int32), n)
     pos = _segment(ridx.reshape(input.shape), seg, K,
                    jax.ops.segment_min, None)
-    return pos
+    return _fill_empty(pos, input, seg, K)
 
 
 def minimum_position(input, labels=None, index=None):
@@ -292,7 +302,11 @@ def histogram(input, min, max, bins, labels=None, index=None):
     segment reduction (segment = region * bins + bucket)."""
     input, seg, K, _, scalar = _norm_labels_index(input, labels, index)
     bins = int(bins)
-    f = input.astype(jnp.float32)
+    # bucket in the input's own float precision: a float32 round-trip
+    # moves f64 values across bin edges (e.g. 3 - 1e-12 rounds up to the
+    # exclusive max and is dropped) — same precision policy as sum_labels
+    f = input.astype(jnp.float64 if jax.config.jax_enable_x64
+                     else jnp.float32)
     bucket = jnp.floor((f - min) * bins / (max - min)).astype(jnp.int32)
     ok = (f >= min) & (f < max) & (seg >= 0)
     bucket = jnp.clip(bucket, 0, bins - 1)

@@ -213,7 +213,13 @@ def min_max_filter(X, size, footprint, structure, mode, cval, origin,
             v = v - s if minimum else v + s
         acc = v if acc is None else reduce_fn(acc, v)
     if acc.dtype != X.dtype and jnp.issubdtype(X.dtype, jnp.integer):
-        acc = jnp.rint(acc).astype(X.dtype)
+        # scipy's C casts double->int by truncation toward zero; its
+        # non-flat int path additionally truncates the STRUCTURE per
+        # tap (except the raster-first tap — an accidental first-tap
+        # inconsistency in NI_MinOrMaxFilter we deliberately do not
+        # replicate): we truncate the double min/max, documented in
+        # docs/source/migration.rst
+        acc = jnp.trunc(acc).astype(X.dtype)
     elif acc.dtype != X.dtype:
         acc = acc.astype(X.dtype)
     return acc
