@@ -50,6 +50,16 @@ BASELINES = {
     "c6": 0.0951,    # 3D 64^3 order-4 mirror forward, Mvox/s
     "c7": 0.137,     # 3D 64^3 order-5 mirror forward, Mvox/s
     "c8": 0.0336,    # 4D 24^4 order-3 mirror forward (naxis=4), Mvox/s
+    # scipy.ndimage measured on this machine's CPU, 128^3 volumes
+    # (BASELINE_NDIMAGE.json, tools/measure_scipy_ndimage.py)
+    "c9": 35.748,    # gaussian_filter sigma=2 f32
+    "c10": 2.251,    # median_filter 3^3 f32
+    "c11": 67.36,    # uniform_filter size=5 f32
+    "c12": 11.336,   # correlate 5^3 kernel f32
+    "c13": 55.117,   # binary_erosion, 50% random mask
+    "c14": 37.717,   # binary_fill_holes, smooth blob mask
+    "c15": 2.62,     # distance_transform_edt, 50% random mask
+    "c16": 42.92,    # label, 50% random mask (scipy two-pass union-find)
 }
 
 RNG = np.random.default_rng(0)
@@ -329,9 +339,128 @@ def bench_c8():
             "single_call_ms": round(ms, 2)}
 
 
+# ---------------------------------------------------------------------------
+# scipy.ndimage tier (VERDICT r4 task 1): stream-timed like c1-c8, with
+# scipy CPU baselines measured the same way (BASELINE_NDIMAGE.json)
+
+_NDIMAGE_N = 128
+_NDIMAGE_K = 8
+
+
+def _bench_ndimage(key, metric, make_inputs, fn_one, K=_NDIMAGE_K):
+    """Stream K independent 128^3 volumes through one jitted lax.scan
+    (identical per-volume semantics; amortizes the tunnel dispatch floor
+    exactly like c1-c8) and also record single-call latency."""
+    xs = make_inputs(K)
+    fK, args = _stream(fn_one, (xs,), jnp.zeros((K,), jnp.float32))
+    voxels = _NDIMAGE_N ** 3
+    dt = _timeit(lambda: fK(*args), _sync_scalars, K * voxels) / K
+    mvox = voxels / dt / 1e6
+    f1 = jax.jit(lambda x: fn_one(x, 0.0))
+    ms = _single_call_ms(lambda: f1(xs[0]), _sync_scalars)
+    return {"metric": metric, "value": round(mvox, 2),
+            "unit": "Mvox/s/chip",
+            "vs_baseline": round(mvox / BASELINES[key], 2),
+            "single_call_ms": round(ms, 2)}
+
+
+def _rand_vols(K):
+    n = _NDIMAGE_N
+    return jnp.asarray(RNG.random((K, n, n, n), dtype=np.float32))
+
+
+def _rand_masks(K):
+    n = _NDIMAGE_N
+    return jnp.asarray(RNG.random((K, n, n, n)) < 0.5)
+
+
+def _blob_masks(K):
+    from scipy import ndimage as _ndi
+    n = _NDIMAGE_N
+    vols = RNG.standard_normal((K, n, n, n))
+    return jnp.asarray(np.stack(
+        [_ndi.gaussian_filter(v, 6.0) > 0.0 for v in vols]))
+
+
+def bench_c9():
+    import elasticdeform_tpu as ed
+
+    def one(x, _):
+        return jnp.sum(ed.gaussian_filter(x, 2.0))
+    return _bench_ndimage("c9", "gaussian_filter 128^3 sigma=2 throughput",
+                          _rand_vols, one)
+
+
+def bench_c10():
+    import elasticdeform_tpu as ed
+
+    def one(x, _):
+        return jnp.sum(ed.median_filter(x, 3))
+    return _bench_ndimage("c10", "median_filter 128^3 3^3 throughput",
+                          _rand_vols, one)
+
+
+def bench_c11():
+    import elasticdeform_tpu as ed
+
+    def one(x, _):
+        return jnp.sum(ed.uniform_filter(x, 5))
+    return _bench_ndimage("c11", "uniform_filter 128^3 size-5 throughput",
+                          _rand_vols, one)
+
+
+def bench_c12():
+    import elasticdeform_tpu as ed
+    kern = jnp.asarray(RNG.random((5, 5, 5), dtype=np.float32))
+
+    def one(x, _):
+        return jnp.sum(ed.correlate(x, kern))
+    return _bench_ndimage("c12", "correlate 128^3 5^3-kernel throughput",
+                          _rand_vols, one)
+
+
+def bench_c13():
+    import elasticdeform_tpu as ed
+
+    def one(x, _):
+        return jnp.sum(ed.binary_erosion(x).astype(jnp.float32))
+    return _bench_ndimage("c13", "binary_erosion 128^3 throughput",
+                          _rand_masks, one)
+
+
+def bench_c14():
+    import elasticdeform_tpu as ed
+
+    def one(x, _):
+        return jnp.sum(ed.binary_fill_holes(x).astype(jnp.float32))
+    return _bench_ndimage("c14", "binary_fill_holes 128^3 (fixpoint) "
+                          "throughput", _blob_masks, one, K=4)
+
+
+def bench_c15():
+    import elasticdeform_tpu as ed
+
+    def one(x, _):
+        return jnp.sum(ed.distance_transform_edt(x))
+    return _bench_ndimage("c15", "distance_transform_edt 128^3 throughput",
+                          _rand_masks, one, K=4)
+
+
+def bench_c16():
+    from elasticdeform_tpu.measure import label_roots
+
+    def one(x, _):
+        return jnp.sum(label_roots(x).astype(jnp.float32))
+    return _bench_ndimage("c16", "label (device roots) 128^3 50%-mask "
+                          "throughput", _rand_masks, one, K=4)
+
+
 CONFIGS = {"c1": bench_c1, "c2": bench_c2, "c3": bench_c3,
            "c4": bench_c4, "c5": bench_c5,
-           "c6": bench_c6, "c7": bench_c7, "c8": bench_c8}
+           "c6": bench_c6, "c7": bench_c7, "c8": bench_c8,
+           "c9": bench_c9, "c10": bench_c10, "c11": bench_c11,
+           "c12": bench_c12, "c13": bench_c13, "c14": bench_c14,
+           "c15": bench_c15, "c16": bench_c16}
 
 
 DESCRIPTIONS = {
@@ -348,6 +477,19 @@ DESCRIPTIONS_SUPP = {
     "c6": ("3D 64^3 order-4 forward", "c6_3d_order4"),
     "c7": ("3D 64^3 order-5 forward", "c7_3d_order5"),
     "c8": ("4D 24^4 order-3 forward (naxis=4)", "c8_4d"),
+}
+
+# scipy.ndimage tier, all on 128^3 volumes; baselines are scipy.ndimage
+# measured on this machine's CPU (BASELINE_NDIMAGE.json)
+DESCRIPTIONS_NDIMAGE = {
+    "c9": ("gaussian_filter sigma=2", "c9_gaussian"),
+    "c10": ("median_filter 3^3", "c10_median"),
+    "c11": ("uniform_filter size-5", "c11_uniform"),
+    "c12": ("correlate 5^3 kernel", "c12_correlate"),
+    "c13": ("binary_erosion (50% mask)", "c13_binary_erosion"),
+    "c14": ("binary_fill_holes (blob mask)", "c14_fill_holes"),
+    "c15": ("distance_transform_edt (50% mask)", "c15_edt"),
+    "c16": ("label device roots (50% mask)", "c16_label"),
 }
 
 
@@ -379,6 +521,15 @@ def print_readme_table():
         print("|---|---|---|---|---|")
         for name in supp:
             print(row(name, DESCRIPTIONS_SUPP[name][0], results[name]))
+    ndi = [n for n in DESCRIPTIONS_NDIMAGE if n in results]
+    if ndi:
+        print()
+        print(header.replace("Config (mirror boundaries)",
+                             "scipy.ndimage tier (128^3)")
+              .replace("reference C (CPU)", "scipy.ndimage (CPU)"))
+        print("|---|---|---|---|---|")
+        for name in ndi:
+            print(row(name, DESCRIPTIONS_NDIMAGE[name][0], results[name]))
     floor = results.get("meta", {}).get("dispatch_floor_ms")
     if floor is not None:
         print()
