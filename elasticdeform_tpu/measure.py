@@ -2,18 +2,28 @@
 parity), TPU-first.
 
 scipy's ``label`` is a sequential two-pass union-find in C — inherently
-serial. The TPU-native formulation here is *label propagation with
-pointer jumping* (Shiloach–Vishkin style): every foreground voxel
-starts with its own raveled index as a provisional label; each
-iteration takes the minimum label over the structure-connected
-neighbors (static shifted slices — the same displacement-free stencil
-trick as ops/morphology.py) and then follows the label chain
-(``l = l[l]``, twice per iteration), which doubles the propagation
-distance per step, so convergence is O(log diameter) data-parallel
-sweeps inside one ``lax.while_loop``. The converged label of a
-component is the component's *minimum raveled index* — which is also
-scipy's first-occurrence raster order, so compacting the sorted unique
-roots to 1..n reproduces scipy's numbering exactly.
+serial. The TPU-native formulation here is *scan-boosted label
+propagation with pointer jumping*: every foreground voxel starts with
+its own raveled index as a provisional label; each sweep (1) runs a
+*segmented min-scan* along every structure-connected axis in both
+directions (``lax.associative_scan`` with background cells as segment
+resets), which spreads the minimum label across each entire contiguous
+run in O(log n) elementwise steps, (2) takes the neighbor minimum over
+any diagonal structure offsets (static shifted slices — the same
+displacement-free stencil trick as ops/morphology.py), and (3) follows
+the label chain once (``l = l[l]``, pointer doubling). The converged
+label of a component is the component's *minimum raveled index* —
+which is also scipy's first-occurrence raster order, so compacting the
+sorted unique roots to 1..n reproduces scipy's numbering exactly.
+
+Why scans + one jump: on TPU the ``l[l]`` gather is the expensive step
+(~18 ms on 128^3 v5e — arbitrary-index gathers don't vectorize over
+lanes) while an associative scan is elementwise (~3 ms), and a scan
+propagates arbitrarily far along an axis run where a stencil step
+moves one voxel. Measured on-chip (bench_artifacts/probe_label_*.json,
+tools/probe_label.py): 9 vs 27 sweeps and 216 vs 821 ms on a 50%
+percolation mask, 4 vs 65 sweeps and 102 vs 1962 ms on smooth blobs,
+vs the earlier stencil+jump^2 formulation.
 
 The statistics (``sum_labels`` / ``mean`` / ``variance`` / minima /
 maxima / positions / ``center_of_mass`` / ``histogram``) are
@@ -62,42 +72,75 @@ def _structure_offsets(structure, ndim):
     return offs
 
 
+def _seg_min_scan(l, fg, axis, reverse, big):
+    """Propagate the running minimum label along contiguous foreground
+    runs in one direction: a segmented min-scan whose segments reset at
+    background voxels (associative, so ``lax.associative_scan`` runs it
+    in O(log n) elementwise steps — no gathers)."""
+    vals = jnp.where(fg, l, big)
+    seg_start = ~fg
+
+    def combine(a, b):
+        v1, s1 = a
+        v2, s2 = b
+        return jnp.where(s2, v2, jnp.minimum(v1, v2)), s1 | s2
+
+    v, _ = lax.associative_scan(combine, (vals, seg_start), axis=axis,
+                                reverse=reverse)
+    return jnp.where(fg, jnp.minimum(l, v), big)
+
+
 def label_roots(input, structure=None):
     """Jit-traceable connected-components core: returns int32 labels
     equal to each component's minimum raveled index (foreground) or
     ``input.size`` (background sentinel). ``label`` compacts these to
-    scipy's 1..n numbering on the host."""
+    scipy's 1..n numbering on the host. Algorithm: see module
+    docstring (scan-boosted propagation + pointer jumping)."""
     x = jnp.asarray(input)
     fg = x != 0
     shape = fg.shape
     ndim = fg.ndim
     n = int(np.prod(shape)) if shape else 1
     offs = _structure_offsets(structure, ndim)
+    # NB: plain `sum` is shadowed by the scipy alias `sum = sum_labels`
+    # further down this module — count with len() here
+    axis_offs = [o for o in offs
+                 if len([c for c in o if c != 0]) == 1]
+    diag_offs = [o for o in offs
+                 if len([c for c in o if c != 0]) > 1]
+    scan_axes = [ax for ax in range(ndim)
+                 if any(o[ax] != 0 for o in axis_offs)]
     big = jnp.int32(n)
     lab0 = jnp.where(
         fg, jnp.arange(n, dtype=jnp.int32).reshape(shape), big)
 
     pads = [(1, 1)] * ndim
 
-    def neighbor_min(l):
+    def neighbor_min(l, offsets):
         lp = jnp.pad(l, pads, constant_values=big)
         m = l
-        for off in offs:
+        for off in offsets:
             start = [1 + o for o in off]
             limit = [1 + o + s for o, s in zip(off, shape)]
             m = jnp.minimum(m, lax.slice(lp, start, limit))
         return jnp.where(fg, m, big)
 
     def jump(l):
-        flat = jnp.concatenate(
-            [l.reshape(-1), jnp.full((1,), n, jnp.int32)])
-        return flat[l]
+        taken = jnp.take(l.reshape(-1),
+                         jnp.where(l >= n, 0, l).reshape(-1),
+                         mode="clip").reshape(l.shape)
+        return jnp.where(l >= n, big, taken)
 
     def body(carry):
         l, _ = carry
-        ln = neighbor_min(l)
-        ln = jump(jump(ln))
-        return ln, jnp.any(ln != l)
+        m = l
+        for ax in scan_axes:
+            m = _seg_min_scan(m, fg, ax, False, big)
+            m = _seg_min_scan(m, fg, ax, True, big)
+        if diag_offs:
+            m = neighbor_min(m, diag_offs)
+        m = jump(m)
+        return m, jnp.any(m != l)
 
     out, _ = lax.while_loop(lambda c: c[1], body,
                             (lab0, jnp.asarray(True)))
@@ -159,6 +202,10 @@ def _segment(vals, seg, K, reduce, fill):
 
 
 def _finish(arr, scalar):
+    if isinstance(arr, jax.core.Tracer):
+        # under jit/vmap stay on device; eager callers get numpy like
+        # scipy (index stays static either way — it fixes the shape)
+        return arr[0] if scalar else arr
     arr = np.asarray(arr)
     return arr[0] if scalar else arr
 

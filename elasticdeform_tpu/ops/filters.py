@@ -218,14 +218,33 @@ def pad_all(X, pads, modes, cval):
     return X
 
 
+# The matmul path stacks prod(kernel.shape[:-1]) banded (n, n) filter
+# matrices and a (lead taps x volume) slice stack; cap both footprints
+# (bytes, float32) so huge last axes / kernels / volumes fall back to
+# the unrolled tap-stack path instead of blowing HBM.
+_CORRELATE_MATMUL_BYTES = 64 << 20
+_CORRELATE_STACK_BYTES = 1 << 30
+_CORRELATE_UNROLL_TAPS = 4096
+
+
 def apply_correlate(X, weights, mode, cval, origin, convolution=False):
     """N-D correlation/convolution with an arbitrary kernel
-    (``scipy.ndimage.correlate`` / ``convolve`` equivalent): boundary
-    fold as static index pads, then ONE ``lax.conv_general_dilated``
-    VALID window at HIGHEST precision. XLA's conv primitive computes
-    cross-correlation (no kernel flip), exactly scipy's ``correlate``;
-    ``convolve`` reverses the kernel and mirrors the origin (scipy
-    ``_correlate_or_convolve``). Linear => exact adjoint by autodiff."""
+    (``scipy.ndimage.correlate`` / ``convolve`` equivalent), as MXU
+    matmuls: the last kernel axis folds into a banded ``filter_matrix``
+    per leading tap offset (boundary extension folded into the edge
+    columns, like the Gaussian tier), the leading axes become static
+    shifted slices of the index-padded input, and the whole thing
+    contracts as ONE ``Precision.HIGHEST`` dot over (leading taps x
+    last axis). A C_in=1 N-D ``conv_general_dilated`` uses ~1/128 of
+    the systolic array and measured 0.5x scipy-CPU on a 5^3 kernel —
+    this formulation is the one that earns the Gaussian family its
+    throughput. ``convolve`` reverses the kernel and mirrors the origin
+    (scipy ``_correlate_or_convolve``). Linear => exact adjoint by
+    autodiff (slice transposes to zero-pad, matmul to its transpose).
+
+    Fallback for kernels whose matrix stack would exceed
+    ``_CORRELATE_MATMUL_BYTES``: an unrolled weighted sum of static
+    shifted slices (fused elementwise pass)."""
     X = jnp.asarray(X)
     w = np.asarray(weights, dtype=np.float64)
     if w.ndim != X.ndim:
@@ -247,7 +266,54 @@ def apply_correlate(X, weights, mode, cval, origin, convolution=False):
         pads.append((c, k - 1 - c))
     dtype = X.dtype if X.dtype in (jnp.float32, jnp.float64) else (
         jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+
+    n_last = int(X.shape[-1])
+    k_lead = int(np.prod(w.shape[:-1], dtype=np.int64))
+    lead_taps = [t for t in np.ndindex(*w.shape[:-1])
+                 if np.any(w[t])]
+    mat_bytes = len(lead_taps) * n_last * n_last * 4
+    stack_bytes = len(lead_taps) * int(X.size) * 4
+    if (lead_taps and mat_bytes <= _CORRELATE_MATMUL_BYTES
+            and stack_bytes <= _CORRELATE_STACK_BYTES):
+        # pad the leading axes only; the last axis boundary is folded
+        # into the filter matrices
+        Xp = pad_all(X.astype(dtype), pads[:-1],
+                     [mode] * (X.ndim - 1), cval)
+        shape_lead = X.shape[:-1]
+        slices = []
+        mats = []
+        bias = np.zeros((n_last,))
+        c_last = w.shape[-1] // 2 + origins[-1]
+        for t in lead_taps:
+            start = [int(v) for v in t] + [0]
+            limit = [s + d for s, d in zip(start, shape_lead)] + [n_last]
+            slices.append(jax.lax.slice(Xp, start, limit))
+            M, b = filter_matrix(n_last, tuple(w[t].tolist()), mode,
+                                 c_last)
+            mats.append(M)
+            bias += b
+        S = jnp.stack(slices, axis=-2)         # (*lead, k_nz, n_last)
+        S = S.reshape(X.shape[:-1] + (len(lead_taps) * n_last,))
+        W = jnp.asarray(np.concatenate(mats, axis=1).T, dtype)
+        out = jnp.matmul(S, W, precision=jax.lax.Precision.HIGHEST)
+        if mode == "constant" and float(np.abs(bias).max()) > 0.0:
+            out = out + jnp.asarray(bias * float(cval), dtype)
+        return out
+    del k_lead
     Xp = pad_all(X.astype(dtype), pads, [mode] * X.ndim, cval)
+    taps = list(zip(*np.nonzero(w)))
+    if not taps:                         # all-zero kernel
+        return jnp.zeros(X.shape, dtype)
+    if len(taps) <= _CORRELATE_UNROLL_TAPS:
+        shape = X.shape
+        out = None
+        for tap in taps:                 # kernel raster order, like scipy
+            start = [int(t) for t in tap]
+            limit = [s + d for s, d in zip(start, shape)]
+            term = jnp.asarray(float(w[tap]), dtype) * jax.lax.slice(
+                Xp, start, limit)
+            out = term if out is None else out + term
+        return out
     out = jax.lax.conv_general_dilated(
         Xp[None, None], jnp.asarray(w, dtype)[None, None],
         window_strides=(1,) * X.ndim, padding="VALID",

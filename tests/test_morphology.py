@@ -84,6 +84,32 @@ def test_correlate_validation(rng):
         ed.correlate(jnp.zeros((4, 4)), np.ones((3, 3)), origin=(0, 9))
 
 
+def test_correlate_internal_strategies_agree(rng, monkeypatch):
+    # apply_correlate routes between a banded-matmul path, an unrolled
+    # tap-stack, and XLA's conv primitive by static size gates; all
+    # three must agree to fp round-off on the same inputs
+    from elasticdeform_tpu.ops import filters as F
+    x = rng.standard_normal((7, 9, 11))
+    w = rng.standard_normal((3, 4, 3))
+    for mode, cval, origin in [("reflect", 0.0, 0),
+                               ("constant", 1.25, (1, -1, 0)),
+                               ("wrap", 0.0, 0), ("nearest", 0.0, 0),
+                               ("mirror", 0.0, (0, 1, 1))]:
+        outs = {}
+        for name, (mat, taps) in {
+                "matmul": (64 << 20, 4096),
+                "tapstack": (0, 4096),
+                "conv": (0, 0)}.items():
+            monkeypatch.setattr(F, "_CORRELATE_MATMUL_BYTES", mat)
+            monkeypatch.setattr(F, "_CORRELATE_UNROLL_TAPS", taps)
+            outs[name] = np.asarray(ed.correlate(
+                jnp.asarray(x), w, mode=mode, cval=cval, origin=origin))
+        np.testing.assert_allclose(outs["tapstack"], outs["matmul"],
+                                   rtol=1e-12, atol=1e-12, err_msg=mode)
+        np.testing.assert_allclose(outs["conv"], outs["matmul"],
+                                   rtol=1e-12, atol=1e-12, err_msg=mode)
+
+
 # ---------------------------------------------------------------------------
 # minimum / maximum filters
 

@@ -115,40 +115,45 @@ def seg_min_scan(l, fg, axis, reverse, big):
     return jnp.where(fg, jnp.minimum(l, v), big)
 
 
-def count_sweeps(fg, offs):
-    """Iteration count of the current algorithm."""
-    n = fg.size
-    big = jnp.int32(n)
-    l = init_labels(fg)
-
+def _converge(l0, step):
+    """Run ``step`` until fixpoint; return (labels, iterations)."""
     def body(carry):
         l, it, _ = carry
-        ln = neighbor_min(l, fg, offs, big)
-        ln = jump_concat(jump_concat(ln, n), n)
+        ln = step(l)
         return ln, it + 1, jnp.any(ln != l)
 
-    _, iters, _ = lax.while_loop(lambda c: c[2], body,
-                                 (l, jnp.int32(0), jnp.asarray(True)))
-    return iters
+    out, iters, _ = lax.while_loop(
+        lambda c: c[2], body, (l0, jnp.int32(0), jnp.asarray(True)))
+    return out, iters
 
 
 def variant_a(fg, offs):
-    return label_roots(fg)
+    """Current library algorithm (neighbor_min + concat-jump^2)."""
+    n = fg.size
+    big = jnp.int32(n)
+    return _converge(init_labels(fg), lambda l: jump_concat(
+        jump_concat(neighbor_min(l, fg, offs, big), n), n))
 
 
 def variant_c(fg, offs):
+    """A with the cheaper take-based jump."""
     n = fg.size
     big = jnp.int32(n)
-    l = init_labels(fg)
+    return _converge(init_labels(fg), lambda l: jump_take(
+        jump_take(neighbor_min(l, fg, offs, big), n), n))
 
-    def body(carry):
-        l, _ = carry
-        ln = neighbor_min(l, fg, offs, big)
-        ln = jump_take(jump_take(ln, n), n)
-        return ln, jnp.any(ln != l)
 
-    out, _ = lax.while_loop(lambda c: c[1], body, (l, jnp.asarray(True)))
-    return out
+def _scan_all_axes(m, fg, offs, big):
+    ndim = fg.ndim
+    axis_offs = [o for o in offs if sum(1 for c in o if c != 0) == 1]
+    diag_offs = [o for o in offs if sum(1 for c in o if c != 0) > 1]
+    for ax in range(ndim):
+        if any(o[ax] != 0 for o in axis_offs):
+            m = seg_min_scan(m, fg, ax, False, big)
+            m = seg_min_scan(m, fg, ax, True, big)
+    if diag_offs:
+        m = neighbor_min(m, fg, diag_offs, big)
+    return m
 
 
 def variant_b(fg, offs):
@@ -156,52 +161,41 @@ def variant_b(fg, offs):
     jump per iteration."""
     n = fg.size
     big = jnp.int32(n)
-    ndim = fg.ndim
-    axis_offs = [o for o in offs
-                 if sum(1 for c in o if c != 0) == 1]
-    diag_offs = [o for o in offs
-                 if sum(1 for c in o if c != 0) > 1]
-    l = init_labels(fg)
-
-    def body(carry):
-        l, _ = carry
-        m = l
-        for ax in range(ndim):
-            if any(o[ax] != 0 for o in axis_offs):
-                m = seg_min_scan(m, fg, ax, False, big)
-                m = seg_min_scan(m, fg, ax, True, big)
-        if diag_offs:
-            m = neighbor_min(m, fg, diag_offs, big)
-        m = jump_take(m, n)
-        return m, jnp.any(m != l)
-
-    out, _ = lax.while_loop(lambda c: c[1], body, (l, jnp.asarray(True)))
-    return out
+    return _converge(init_labels(fg), lambda l: jump_take(
+        _scan_all_axes(l, fg, offs, big), n))
 
 
-def count_sweeps_b(fg, offs):
+def variant_e(fg, offs):
+    """One scan-cycle seed, then the C loop (scans collapse every
+    axis-run to its min before any gather happens)."""
     n = fg.size
     big = jnp.int32(n)
-    ndim = fg.ndim
-    axis_offs = [o for o in offs if sum(1 for c in o if c != 0) == 1]
-    diag_offs = [o for o in offs if sum(1 for c in o if c != 0) > 1]
-    l = init_labels(fg)
+    l = _scan_all_axes(init_labels(fg), fg, offs, big)
+    return _converge(l, lambda m: jump_take(
+        jump_take(neighbor_min(m, fg, offs, big), n), n))
 
-    def body(carry):
-        l, it, _ = carry
-        m = l
-        for ax in range(ndim):
-            if any(o[ax] != 0 for o in axis_offs):
-                m = seg_min_scan(m, fg, ax, False, big)
-                m = seg_min_scan(m, fg, ax, True, big)
-        if diag_offs:
-            m = neighbor_min(m, fg, diag_offs, big)
-        m = jump_take(m, n)
-        return m, it + 1, jnp.any(m != l)
 
-    _, iters, _ = lax.while_loop(lambda c: c[2], body,
-                                 (l, jnp.int32(0), jnp.asarray(True)))
-    return iters
+def variant_f(fg, offs):
+    """Three stencil passes per sweep (cheap on VPU) + jump^2 —
+    trades elementwise passes for fewer expensive gathers."""
+    n = fg.size
+    big = jnp.int32(n)
+
+    def step(l):
+        m = neighbor_min(l, fg, offs, big)
+        m = neighbor_min(m, fg, offs, big)
+        m = neighbor_min(m, fg, offs, big)
+        return jump_take(jump_take(m, n), n)
+
+    return _converge(init_labels(fg), step)
+
+
+def variant_g(fg, offs):
+    """Scan-cycle + jump^2 every sweep (B with a second jump)."""
+    n = fg.size
+    big = jnp.int32(n)
+    return _converge(init_labels(fg), lambda l: jump_take(jump_take(
+        _scan_all_axes(l, fg, offs, big), n), n))
 
 
 def main():
@@ -233,24 +227,26 @@ def main():
 
     variants = {"A_current": jax.jit(lambda m: variant_a(m, offs)),
                 "B_scans": jax.jit(lambda m: variant_b(m, offs)),
-                "C_cheapjump": jax.jit(lambda m: variant_c(m, offs))}
+                "C_cheapjump": jax.jit(lambda m: variant_c(m, offs)),
+                "E_seed": jax.jit(lambda m: variant_e(m, offs)),
+                "F_stencil3": jax.jit(lambda m: variant_f(m, offs)),
+                "G_scans_jump2": jax.jit(lambda m: variant_g(m, offs))}
     for mname, mask in masks.items():
         fg = jnp.asarray(mask)
         rec = {}
-        rec["sweeps_current"] = int(jax.jit(
-            lambda m: count_sweeps(m, offs))(fg))
-        rec["sweeps_B"] = int(jax.jit(
-            lambda m: count_sweeps_b(m, offs))(fg))
         ref = None
         for vname, f in variants.items():
-            dt = timeit(lambda: f(fg), sync, iters=3)
-            res = np.asarray(f(fg))
+            dt = timeit(lambda: f(fg)[0], sync, iters=3)
+            res, iters = f(fg)
+            res = np.asarray(res)
             if ref is None:
                 ref = res
             rec[vname + "_ms"] = round(dt * 1e3, 1)
+            rec[vname + "_sweeps"] = int(iters)
             rec[vname + "_match"] = bool((res == ref).all())
             print(f"{mname} {vname}: {dt*1e3:.1f} ms "
-                  f"match={rec[vname + '_match']}", flush=True)
+                  f"sweeps={int(iters)} match={rec[vname + '_match']}",
+                  flush=True)
         out[mname] = rec
 
     stamp = time.strftime("%Y%m%d_%H%M%S", time.gmtime())

@@ -19,6 +19,18 @@
 # (see .claude/skills/verify/SKILL.md).
 set -u
 cd "$(dirname "$0")/.."
+
+# one gate at a time: a previous session's gate can survive that
+# session's death and silently share the chip, pushing stage runtimes
+# past their timeouts (both 2026-08-19 FAIL artifacts were exactly
+# this). Refuse to start while a live gate pid exists.
+PIDFILE=/tmp/tpu_ci.pid
+if [ -f "$PIDFILE" ] && kill -0 "$(cat "$PIDFILE")" 2>/dev/null; then
+    echo "tpu_ci: another gate is already running (pid $(cat "$PIDFILE")); refusing to double-book the chip" >&2
+    exit 2
+fi
+echo $$ > "$PIDFILE"
+
 STAMP=$(date -u +%Y%m%d_%H%M%S)
 ART="bench_artifacts/tpu_ci_${STAMP}.json"
 QUICK=0
