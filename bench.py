@@ -60,6 +60,7 @@ BASELINES = {
     "c14": 37.717,   # binary_fill_holes, smooth blob mask
     "c15": 2.62,     # distance_transform_edt, 50% random mask
     "c16": 42.92,    # label, 50% random mask (scipy two-pass union-find)
+    "c17": 108.013,  # label, smooth blob mask (scipy union-find)
 }
 
 RNG = np.random.default_rng(0)
@@ -455,12 +456,21 @@ def bench_c16():
                           "throughput", _rand_masks, one, K=4)
 
 
+def bench_c17():
+    from elasticdeform_tpu.measure import label_roots
+
+    def one(x, _):
+        return jnp.sum(label_roots(x).astype(jnp.float32))
+    return _bench_ndimage("c17", "label (device roots) 128^3 blob-mask "
+                          "throughput", _blob_masks, one, K=4)
+
+
 CONFIGS = {"c1": bench_c1, "c2": bench_c2, "c3": bench_c3,
            "c4": bench_c4, "c5": bench_c5,
            "c6": bench_c6, "c7": bench_c7, "c8": bench_c8,
            "c9": bench_c9, "c10": bench_c10, "c11": bench_c11,
            "c12": bench_c12, "c13": bench_c13, "c14": bench_c14,
-           "c15": bench_c15, "c16": bench_c16}
+           "c15": bench_c15, "c16": bench_c16, "c17": bench_c17}
 
 
 DESCRIPTIONS = {
@@ -490,6 +500,7 @@ DESCRIPTIONS_NDIMAGE = {
     "c14": ("binary_fill_holes (blob mask)", "c14_fill_holes"),
     "c15": ("distance_transform_edt (50% mask)", "c15_edt"),
     "c16": ("label device roots (50% mask)", "c16_label"),
+    "c17": ("label device roots (blob mask)", "c17_label_blob"),
 }
 
 

@@ -26,6 +26,7 @@ matmuls) with no custom VJP needed.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -292,10 +293,23 @@ def apply_correlate(X, weights, mode, cval, origin, convolution=False):
                                  c_last)
             mats.append(M)
             bias += b
-        S = jnp.stack(slices, axis=-2)         # (*lead, k_nz, n_last)
-        S = S.reshape(X.shape[:-1] + (len(lead_taps) * n_last,))
-        W = jnp.asarray(np.concatenate(mats, axis=1).T, dtype)
-        out = jnp.matmul(S, W, precision=jax.lax.Precision.HIGHEST)
+        if os.environ.get("ELASTICDEFORM_TPU_CORRELATE_ONEDOT") == "1":
+            # single stacked dot: same flops as the separated sum below
+            # but materializes a (lead taps x volume) stack; measured
+            # equal-throughput-within-dispatch-floor on v5e
+            # (bench_artifacts/probe_correlate_20260819_182708.json:
+            # 274 vs 324 Mvox/s streamed K=4) — kept behind an env flag
+            # for A/Bs
+            S = jnp.stack(slices, axis=-2)     # (*lead, k_nz, n_last)
+            S = S.reshape(X.shape[:-1] + (len(lead_taps) * n_last,))
+            W = jnp.asarray(np.concatenate(mats, axis=1).T, dtype)
+            out = jnp.matmul(S, W, precision=jax.lax.Precision.HIGHEST)
+        else:
+            out = None
+            for sl, M in zip(slices, mats):
+                term = jnp.matmul(sl, jnp.asarray(M.T, dtype),
+                                  precision=jax.lax.Precision.HIGHEST)
+                out = term if out is None else out + term
         if mode == "constant" and float(np.abs(bias).max()) > 0.0:
             out = out + jnp.asarray(bias * float(cval), dtype)
         return out
