@@ -395,46 +395,13 @@ def binary_erosion_dilation(input, structure, iterations, mask,
     if iterations > 1:
         return lax.fori_loop(0, iterations, lambda i, v: step(v), x)
 
-    # fixpoint: dilation-to-fixpoint is reachability (geodesic
-    # reconstruction), so boost each sweep with segmented OR-scans that
-    # spread "reached" along entire contiguous runs per axis direction
-    # (one O(log n) elementwise associative_scan instead of run-length
-    # many 1-voxel stencil steps — the same trick as measure.label_roots,
-    # measured 9 vs 27 / 4 vs 65 sweeps in tools/probe_label.py). The
-    # stencil step stays (border seeding + diagonal taps); scans only
-    # accelerate propagation the fixpoint would reach anyway, relaying
-    # strictly through cells that are already reached or mask-allowed,
-    # so the fixpoint is unchanged.
-    scan_dirs = []
-    if dilation:
-        for ax in range(x.ndim):
-            for sign in (1, -1):
-                unit = tuple(sign if d == ax else 0
-                             for d in range(x.ndim))
-                eff = [tuple(int(t[d]) - pads[d][0]
-                             for d in range(x.ndim)) for t in taps]
-                if unit in eff:
-                    # tap offset +1 pulls from higher index => reached
-                    # spreads toward lower indices => suffix scan
-                    scan_dirs.append((ax, sign > 0))
-
-    def or_scans(v):
-        relay = v if m is None else (m | v)
-        seg_start = ~relay
-
-        def combine(a, b):
-            v1, s1 = a
-            v2, s2 = b
-            return jnp.where(s2, v2, v1 | v2), s1 | s2
-
-        for ax, reverse in scan_dirs:
-            spread, _ = lax.associative_scan(
-                combine, (v & relay, seg_start), axis=ax,
-                reverse=reverse)
-            grow = spread if m is None else (spread & m)
-            v = v | grow
-        return v
-
+    # fixpoint: plain stencil sweeps under one while_loop. A
+    # segmented-OR-scan boost (the measure.label_roots trick) was
+    # A/B-ed on chip and LOSES here by ~18x (c14 1219 -> 66 Mvox/s,
+    # bench_artifacts/tpu_ci_20260819_183023.json): a boolean stencil
+    # sweep costs ~15 us on 128^3 v5e so even ~100 sweeps finish in
+    # ~1.5 ms, while one associative-scan sweep costs ~ms — scans only
+    # pay when each sweep carries expensive int32 jump gathers (label).
     def cond(carry):
         v, changed = carry
         return changed
@@ -442,8 +409,6 @@ def binary_erosion_dilation(input, structure, iterations, mask,
     def body(carry):
         v, _ = carry
         nv = step(v)
-        if scan_dirs:
-            nv = or_scans(nv)
         return nv, jnp.any(nv != v)
 
     out, _ = lax.while_loop(cond, body, (x, jnp.asarray(True)))

@@ -96,18 +96,25 @@ def test_correlate_internal_strategies_agree(rng, monkeypatch):
                                ("wrap", 0.0, 0), ("nearest", 0.0, 0),
                                ("mirror", 0.0, (0, 1, 1))]:
         outs = {}
-        for name, (mat, taps) in {
-                "matmul": (64 << 20, 4096),
-                "tapstack": (0, 4096),
-                "conv": (0, 0)}.items():
+        for name, (mat, taps, onedot) in {
+                "matmul": (64 << 20, 4096, False),
+                "onedot": (64 << 20, 4096, True),
+                "tapstack": (0, 4096, False),
+                "conv": (0, 0, False)}.items():
             monkeypatch.setattr(F, "_CORRELATE_MATMUL_BYTES", mat)
             monkeypatch.setattr(F, "_CORRELATE_UNROLL_TAPS", taps)
+            if onedot:
+                monkeypatch.setenv(
+                    "ELASTICDEFORM_TPU_CORRELATE_ONEDOT", "1")
+            else:
+                monkeypatch.delenv(
+                    "ELASTICDEFORM_TPU_CORRELATE_ONEDOT", raising=False)
             outs[name] = np.asarray(ed.correlate(
                 jnp.asarray(x), w, mode=mode, cval=cval, origin=origin))
-        np.testing.assert_allclose(outs["tapstack"], outs["matmul"],
-                                   rtol=1e-12, atol=1e-12, err_msg=mode)
-        np.testing.assert_allclose(outs["conv"], outs["matmul"],
-                                   rtol=1e-12, atol=1e-12, err_msg=mode)
+        for name in ("onedot", "tapstack", "conv"):
+            np.testing.assert_allclose(outs[name], outs["matmul"],
+                                       rtol=1e-12, atol=1e-12,
+                                       err_msg=f"{name} {mode}")
 
 
 # ---------------------------------------------------------------------------
