@@ -40,6 +40,8 @@ masks); differential-tested against scipy in tests/test_morphology.py.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -229,6 +231,89 @@ def min_max_filter(X, size, footprint, structure, mode, cval, origin,
 # rank / median / percentile
 
 
+# Footprints up to this many taps select the rank with a pruned
+# Batcher min/max network (fused VPU compare-exchanges, no sort
+# primitive); larger footprints fall back to jnp.sort.
+_RANK_NETWORK_MAX_TAPS = 64
+
+
+@functools.lru_cache(maxsize=None)
+def _batcher_pairs(n):
+    """Batcher odd-even mergesort comparator list for power-of-two n
+    (classic recursive construction; (i, j) means wire i gets the min,
+    wire j the max)."""
+    pairs = []
+
+    def merge(lo, m, r):
+        step = r * 2
+        if step < m:
+            merge(lo, m, step)
+            merge(lo + r, m, step)
+            for i in range(lo + r, lo + m - r, step):
+                pairs.append((i, i + r))
+        else:
+            pairs.append((lo, lo + r))
+
+    def sort(lo, hi):
+        if hi - lo >= 1:
+            mid = lo + (hi - lo) // 2
+            sort(lo, mid)
+            sort(mid + 1, hi)
+            merge(lo, hi - lo + 1, 1)
+
+    sort(0, n - 1)
+    return tuple(pairs)
+
+
+@functools.lru_cache(maxsize=None)
+def _rank_network(k, rank):
+    """Comparators of the Batcher network for k padded to a power of
+    two, pruned backwards to only the compare-exchanges that can reach
+    sorted position ``rank`` (the standard single-output pruning —
+    typically halves the network for the median)."""
+    n = 1 << max(0, (int(k) - 1).bit_length())
+    pairs = _batcher_pairs(n) if n > 1 else ()
+    live = {int(rank)}
+    kept = []
+    for i, j in reversed(pairs):
+        if i in live or j in live:
+            kept.append((i, j))
+            live.add(i)
+            live.add(j)
+    return n, tuple(reversed(kept))
+
+
+def _pad_max_value(dtype):
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.dtype(bool):
+        return True
+    if jnp.issubdtype(dtype, jnp.floating):
+        return jnp.asarray(jnp.inf, dtype)
+    return jnp.asarray(jnp.iinfo(dtype).max, dtype)
+
+
+def _rank_select(stack, rank):
+    """k-th smallest along the trailing tap axis via the pruned
+    network: each comparator is one fused minimum/maximum pair over
+    the whole volume — no sort primitive, no gathers. Padding wires
+    hold the dtype's +max so the lowest k positions sort identically
+    to the unpadded multiset. NaN note: min/max propagate NaN to both
+    wires, so any-NaN windows return NaN (jnp.sort would order NaNs
+    last); scipy's C selection leaves NaN windows unspecified too."""
+    k = int(stack.shape[-1])
+    n, pairs = _rank_network(k, rank)
+    arrs = [stack[..., t] for t in range(k)]
+    if n > k:
+        pad = jnp.full(stack.shape[:-1], _pad_max_value(stack.dtype),
+                       stack.dtype)
+        arrs += [pad] * (n - k)
+    for i, j in pairs:
+        a, b = arrs[i], arrs[j]
+        arrs[i] = jnp.minimum(a, b)
+        arrs[j] = jnp.maximum(a, b)
+    return arrs[rank]
+
+
 def rank_filter(X, rank, size, footprint, mode, cval, origin,
                 operation="rank", axes=None):
     """Order-statistic filter: sort the footprint taps along a new
@@ -276,6 +361,8 @@ def rank_filter(X, rank, size, footprint, mode, cval, origin,
         raise RuntimeError("A sequence of modes is not supported by "
                            "non-separable rank filters")
     stack = footprint_tap_stack(X, footprint, full_origins, mode, cval)
+    if filter_size <= _RANK_NETWORK_MAX_TAPS:
+        return _rank_select(stack, rank)
     return jnp.sort(stack, axis=-1)[..., rank]
 
 
