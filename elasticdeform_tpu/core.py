@@ -1366,9 +1366,11 @@ def rank_filter(X, rank, size=None, footprint=None, *, mode='reflect',
                 cval=0.0, origin=0, axes=None, output=None):
     """Order-statistic filter (``scipy.ndimage.rank_filter``
     equivalent): the footprint taps are stacked along a new trailing
-    axis, ``jnp.sort``-ed (one k-lane sort vectorized over every output
-    voxel), and the requested rank is taken. Negative ranks count from
-    the top; rank 0 / k-1 short-circuit to min/max filters."""
+    axis and the requested rank is selected by a pruned min/max
+    comparator network (one fused compare-exchange sequence vectorized
+    over every output voxel — see ops/morphology.py). Negative ranks
+    count from the top; rank 0 / k-1 short-circuit to min/max
+    filters."""
     from elasticdeform_tpu.ops import morphology as _m
     dtype, out_array = _resolve_output(X, output)
     res = _m.rank_filter(X, rank, size, footprint, mode, cval, origin,

