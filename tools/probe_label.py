@@ -198,6 +198,16 @@ def variant_g(fg, offs):
         _scan_all_axes(l, fg, offs, big), n), n))
 
 
+def variant_h(fg, offs):
+    """Scans + jump + scans: spread the jumped labels along runs
+    before the convergence check (costs one extra scan-cycle per
+    sweep, may halve the jump count)."""
+    n = fg.size
+    big = jnp.int32(n)
+    return _converge(init_labels(fg), lambda l: _scan_all_axes(
+        jump_take(_scan_all_axes(l, fg, offs, big), n), fg, offs, big))
+
+
 def main():
     print(f"devices: {jax.devices()}", flush=True)
     masks = make_masks()
@@ -230,7 +240,14 @@ def main():
                 "C_cheapjump": jax.jit(lambda m: variant_c(m, offs)),
                 "E_seed": jax.jit(lambda m: variant_e(m, offs)),
                 "F_stencil3": jax.jit(lambda m: variant_f(m, offs)),
-                "G_scans_jump2": jax.jit(lambda m: variant_g(m, offs))}
+                "G_scans_jump2": jax.jit(lambda m: variant_g(m, offs)),
+                "H_scan_jump_scan": jax.jit(
+                    lambda m: variant_h(m, offs))}
+    only = os.environ.get("PROBE_VARIANTS")
+    if only:
+        keep = only.split(",")
+        variants = {k: v for k, v in variants.items()
+                    if any(k.startswith(p) for p in keep)}
     for mname, mask in masks.items():
         fg = jnp.asarray(mask)
         rec = {}

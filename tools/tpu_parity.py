@@ -403,8 +403,9 @@ def main():
     ok &= check("laplace f32 vs scipy", got, want, 2e-5)
 
     # order-statistic / morphology / distance tier on chip: these are
-    # comparison-and-select ops (no accumulation), so chip results must
-    # be EXACT vs scipy; correlate (conv path) and EDT (min-plus adds)
+    # comparison-and-select ops (no accumulation; median runs the
+    # pruned min/max selection network), so chip results must be EXACT
+    # vs scipy; correlate (banded-matmul path) and EDT (min-plus adds)
     # are f32-tolerance
     got = np.asarray(jax.jit(lambda a: ed.median_filter(
         a, 3))(jnp.asarray(xg)))
