@@ -51,16 +51,22 @@ BASELINES = {
     "c7": 0.137,     # 3D 64^3 order-5 mirror forward, Mvox/s
     "c8": 0.0336,    # 4D 24^4 order-3 mirror forward (naxis=4), Mvox/s
     # scipy.ndimage measured on this machine's CPU, 128^3 volumes
-    # (BASELINE_NDIMAGE.json, tools/measure_scipy_ndimage.py)
-    "c9": 35.748,    # gaussian_filter sigma=2 f32
-    "c10": 2.251,    # median_filter 3^3 f32
-    "c11": 67.36,    # uniform_filter size=5 f32
-    "c12": 11.336,   # correlate 5^3 kernel f32
-    "c13": 55.117,   # binary_erosion, 50% random mask
-    "c14": 37.717,   # binary_fill_holes, smooth blob mask
-    "c15": 2.62,     # distance_transform_edt, 50% random mask
-    "c16": 42.92,    # label, 50% random mask (scipy two-pass union-find)
-    "c17": 108.013,  # label, smooth blob mask (scipy union-find)
+    # (BASELINE_NDIMAGE.json, tools/measure_scipy_ndimage.py; remeasured
+    # 2026-08-19 20:0x UTC on an idle machine — the first sweep ran
+    # while other work shared this box's single CPU and understated
+    # scipy by up to 1.8x on EDT, overstating our ratios)
+    "c9": 39.858,    # gaussian_filter sigma=2 f32
+    "c10": 2.29,     # median_filter 3^3 f32
+    "c11": 72.569,   # uniform_filter size=5 f32
+    "c12": 12.015,   # correlate 5^3 kernel f32
+    "c13": 55.59,    # binary_erosion, 50% random mask
+    "c14": 36.065,   # binary_fill_holes, smooth blob mask
+    "c15": 4.922,    # distance_transform_edt, 50% random mask
+    "c16": 41.984,   # label, 50% random mask (scipy two-pass union-find)
+    "c17": 131.816,  # label, smooth blob mask (scipy union-find)
+    "c18": 18.077,   # affine_transform order-1
+    "c19": 4.326,    # affine_transform order-3 (prefiltered)
+    "c20": 14.519,   # map_coordinates order-1, dense coordinate field
 }
 
 RNG = np.random.default_rng(0)
@@ -465,12 +471,54 @@ def bench_c17():
                           "throughput", _blob_masks, one, K=4)
 
 
+# resampler family (scipy conventions; the surface next to the deform
+# tier — matrix/offset/coords match tools/measure_scipy_ndimage.py)
+
+_AFFINE_MAT = np.array([[0.9, 0.05, 0.0], [0.0, 1.1, -0.05],
+                        [0.02, 0.0, 0.95]])
+_AFFINE_OFF = np.array([2.0, -1.5, 0.5])
+
+
+def bench_c18():
+    import elasticdeform_tpu as ed
+
+    def one(x, _):
+        return jnp.sum(ed.affine_transform(x, _AFFINE_MAT, _AFFINE_OFF,
+                                           order=1))
+    return _bench_ndimage("c18", "affine_transform 128^3 order-1 "
+                          "throughput", _rand_vols, one)
+
+
+def bench_c19():
+    import elasticdeform_tpu as ed
+
+    def one(x, _):
+        return jnp.sum(ed.affine_transform(x, _AFFINE_MAT, _AFFINE_OFF,
+                                           order=3))
+    return _bench_ndimage("c19", "affine_transform 128^3 order-3 "
+                          "(prefiltered) throughput", _rand_vols, one)
+
+
+def bench_c20():
+    import elasticdeform_tpu as ed
+    n = _NDIMAGE_N
+    coords = np.indices((n, n, n)).astype(np.float32)
+    coords = jnp.asarray(
+        coords + RNG.standard_normal(coords.shape).astype(np.float32) * 2)
+
+    def one(x, _):
+        return jnp.sum(ed.map_coordinates(x, coords, order=1))
+    return _bench_ndimage("c20", "map_coordinates 128^3 dense-field "
+                          "order-1 throughput", _rand_vols, one, K=4)
+
+
 CONFIGS = {"c1": bench_c1, "c2": bench_c2, "c3": bench_c3,
            "c4": bench_c4, "c5": bench_c5,
            "c6": bench_c6, "c7": bench_c7, "c8": bench_c8,
            "c9": bench_c9, "c10": bench_c10, "c11": bench_c11,
            "c12": bench_c12, "c13": bench_c13, "c14": bench_c14,
-           "c15": bench_c15, "c16": bench_c16, "c17": bench_c17}
+           "c15": bench_c15, "c16": bench_c16, "c17": bench_c17,
+           "c18": bench_c18, "c19": bench_c19, "c20": bench_c20}
 
 
 DESCRIPTIONS = {
@@ -501,6 +549,9 @@ DESCRIPTIONS_NDIMAGE = {
     "c15": ("distance_transform_edt (50% mask)", "c15_edt"),
     "c16": ("label device roots (50% mask)", "c16_label"),
     "c17": ("label device roots (blob mask)", "c17_label_blob"),
+    "c18": ("affine_transform order-1", "c18_affine_o1"),
+    "c19": ("affine_transform order-3", "c19_affine_o3"),
+    "c20": ("map_coordinates dense order-1", "c20_mapcoords"),
 }
 
 
@@ -513,9 +564,14 @@ def print_readme_table():
     def row(name, desc, r):
         lat = r.get("single_call_ms")
         lat = f"{lat:.1f} ms" if lat is not None else "—"
+        # recompute the speedup from the CURRENT baseline constants so
+        # the CPU column and the ratio always agree even after a
+        # baseline re-measurement (the stored vs_baseline is the ratio
+        # at measurement time)
+        speedup = r["value"] / BASELINES[name]
         return (f"| {desc} | {BASELINES[name]:.2f} Mvox/s "
                 f"| {r['value']:.2f} Mvox/s | {lat} "
-                f"| {r['vs_baseline']:.1f}x |")
+                f"| {speedup:.1f}x |")
 
     header = ("| Config (mirror boundaries) | reference C (CPU) "
               "| this library, streamed (1x v5e) | single call | speedup |")

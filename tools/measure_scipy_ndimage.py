@@ -54,6 +54,18 @@ def main():
         "n_label": (lambda: ndimage.label(mask), 1),
         "n_label_blob": (lambda: ndimage.label(blob), 1),
     }
+    # resampler family (the scipy surface next to the deform tier)
+    mat = np.array([[0.9, 0.05, 0.0], [0.0, 1.1, -0.05],
+                    [0.02, 0.0, 0.95]])
+    offs = np.array([2.0, -1.5, 0.5])
+    coords = np.indices((N, N, N)).astype(np.float64)
+    coords = coords + rng.standard_normal(coords.shape) * 2.0
+    cases["n_affine_o1"] = (
+        lambda: ndimage.affine_transform(vol, mat, offs, order=1), 1)
+    cases["n_affine_o3"] = (
+        lambda: ndimage.affine_transform(vol, mat, offs, order=3), 1)
+    cases["n_mapcoords_o1"] = (
+        lambda: ndimage.map_coordinates(vol, coords, order=1), 1)
     out = {"meta": {
         "machine": platform.platform(),
         "cpu_count": os.cpu_count(),
