@@ -1006,15 +1006,23 @@ def _resolve_output(X, output):
 
 
 def _finish_filter(result, dtype, out_array=None):
-    """Cast a float filter result to scipy's output dtype: integer and
-    bool results truncate toward zero (the C double->int cast scipy's
-    filter tier applies — verified against scipy 1.17: correlate1d of
-    int32 gives trunc(-0.9) == 0, uniform_filter1d trunc(1.5) == 1)."""
+    """Cast a float filter result to scipy's output dtype: integer
+    results truncate toward zero and then WRAP modulo 2^bits — the C
+    ``(type) tmp`` cast scipy's filter tier applies (verified against
+    scipy 1.17: correlate1d of int32 gives trunc(-0.9) == 0,
+    uniform_filter1d trunc(1.5) == 1, and a uint8 correlate whose
+    float result is -30.3 stores 226, i.e. wraparound — found by
+    tools/fuzz_ndimage.py; JAX's float->int astype would CLAMP to the
+    dtype range instead, so route through a wide int whose int->int
+    narrowing keeps the low bits)."""
     import numpy as _np
     dtype = jnp.dtype(dtype)
     if result.dtype != dtype:
-        if (jnp.issubdtype(dtype, jnp.integer)
-                or dtype == jnp.bool_):
+        if jnp.issubdtype(dtype, jnp.integer):
+            wide = (jnp.int64 if jax.config.jax_enable_x64
+                    else jnp.int32)
+            result = jnp.trunc(result).astype(wide)
+        elif dtype == jnp.bool_:
             result = jnp.trunc(result)
         result = result.astype(dtype)
     if out_array is not None:

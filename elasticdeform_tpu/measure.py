@@ -166,30 +166,36 @@ def label(input, structure=None):
 
 
 def _norm_labels_index(input, labels, index):
-    """Normalize (labels, index) into (seg_ids, K, index_array,
-    scalar?) where seg_ids raveled maps every voxel to a segment id in
-    [0, K) or -1 (excluded)."""
+    """Normalize (labels, index) into (seg_ids, K, expand, scalar?)
+    where seg_ids raveled maps every voxel to a segment id in [0, K)
+    or -1 (excluded). Reductions run over the K UNIQUE index values;
+    ``expand`` (or None) maps each *requested* entry back to its
+    unique slot — scipy allows repeated index entries (each occurrence
+    returns that label's statistic), and a plain value->slot LUT would
+    let the last duplicate win while earlier ones got the empty fill
+    (found by tools/fuzz_ndimage.py)."""
     input = jnp.asarray(input)
     if labels is None:
         seg = jnp.zeros(input.shape, jnp.int32)
-        return input, seg, 1, np.array([0]), True
+        return input, seg, 1, None, True
     labels = jnp.asarray(labels)
     if labels.shape != input.shape:
         raise ValueError("input and labels shapes are not equal")
     if index is None:
         seg = jnp.where(labels > 0, 0, -1).astype(jnp.int32)
-        return input, seg, 1, np.array([0]), True
+        return input, seg, 1, None, True
     scalar = np.isscalar(index)
     idx = np.atleast_1d(np.asarray(index, dtype=np.int64))
     if idx.size and int(idx.min()) < 0:
         raise ValueError("negative index values are not supported")
-    lut_size = int(idx.max()) + 2 if idx.size else 2
+    uniq, inv = np.unique(idx, return_inverse=True)
+    lut_size = int(uniq.max()) + 2 if uniq.size else 2
     lut = np.full(lut_size, -1, dtype=np.int32)
-    lut[idx] = np.arange(len(idx), dtype=np.int32)
+    lut[uniq] = np.arange(len(uniq), dtype=np.int32)
     lab = jnp.clip(labels.astype(jnp.int64), 0, lut_size - 1)
     seg = jnp.asarray(lut)[lab]
     seg = jnp.where(labels.astype(jnp.int64) == lab, seg, -1)
-    return input, seg, len(idx), idx, scalar
+    return input, seg, len(uniq), inv.astype(np.int32), scalar
 
 
 def _segment(vals, seg, K, reduce, fill):
@@ -201,7 +207,9 @@ def _segment(vals, seg, K, reduce, fill):
                   indices_are_sorted=False)[:K]
 
 
-def _finish(arr, scalar):
+def _finish(arr, scalar, expand=None):
+    if expand is not None:
+        arr = arr[expand]          # unique slots -> requested entries
     if isinstance(arr, jax.core.Tracer):
         # under jit/vmap stay on device; eager callers get numpy like
         # scipy (index stays static either way — it fixes the shape)
@@ -213,12 +221,13 @@ def _finish(arr, scalar):
 def sum_labels(input, labels=None, index=None):
     """``scipy.ndimage.sum_labels``: per-region sums as one
     ``segment_sum`` over the raveled volume."""
-    input, seg, K, _, scalar = _norm_labels_index(input, labels, index)
+    input, seg, K, expand, scalar = _norm_labels_index(
+        input, labels, index)
     s = _segment(input.astype(jnp.float64
                               if jax.config.jax_enable_x64
                               else jnp.float32),
                  seg, K, jax.ops.segment_sum, 0.0)
-    return _finish(s, scalar)
+    return _finish(s, scalar, expand)
 
 
 # scipy.ndimage.sum is the deprecated alias of sum_labels
@@ -232,24 +241,26 @@ def _count(input, seg, K):
 
 def mean(input, labels=None, index=None):
     """``scipy.ndimage.mean``: per-region means."""
-    input, seg, K, _, scalar = _norm_labels_index(input, labels, index)
+    input, seg, K, expand, scalar = _norm_labels_index(
+        input, labels, index)
     f = input.astype(jnp.float64 if jax.config.jax_enable_x64
                      else jnp.float32)
     s = _segment(f, seg, K, jax.ops.segment_sum, 0.0)
     c = _count(input, seg, K)
-    return _finish(s / c, scalar)
+    return _finish(s / c, scalar, expand)
 
 
 def variance(input, labels=None, index=None):
     """``scipy.ndimage.variance``: per-region (population) variance."""
-    input, seg, K, _, scalar = _norm_labels_index(input, labels, index)
+    input, seg, K, expand, scalar = _norm_labels_index(
+        input, labels, index)
     f = input.astype(jnp.float64 if jax.config.jax_enable_x64
                      else jnp.float32)
     s = _segment(f, seg, K, jax.ops.segment_sum, 0.0)
     s2 = _segment(f * f, seg, K, jax.ops.segment_sum, 0.0)
     c = _count(input, seg, K)
     m = s / c
-    return _finish(s2 / c - m * m, scalar)
+    return _finish(s2 / c - m * m, scalar, expand)
 
 
 def standard_deviation(input, labels=None, index=None):
@@ -269,17 +280,19 @@ def _fill_empty(vals, input, seg, K):
 def minimum(input, labels=None, index=None):
     """``scipy.ndimage.minimum``: per-region minima (``segment_min``);
     empty regions give 0 as in scipy."""
-    input, seg, K, _, scalar = _norm_labels_index(input, labels, index)
+    input, seg, K, expand, scalar = _norm_labels_index(
+        input, labels, index)
     m = _segment(input, seg, K, jax.ops.segment_min, None)
-    return _finish(_fill_empty(m, input, seg, K), scalar)
+    return _finish(_fill_empty(m, input, seg, K), scalar, expand)
 
 
 def maximum(input, labels=None, index=None):
     """``scipy.ndimage.maximum``: per-region maxima (``segment_max``);
     empty regions give 0 as in scipy."""
-    input, seg, K, _, scalar = _norm_labels_index(input, labels, index)
+    input, seg, K, expand, scalar = _norm_labels_index(
+        input, labels, index)
     m = _segment(input, seg, K, jax.ops.segment_max, None)
-    return _finish(_fill_empty(m, input, seg, K), scalar)
+    return _finish(_fill_empty(m, input, seg, K), scalar, expand)
 
 
 def _positions(input, seg, K, want_min):
@@ -300,8 +313,11 @@ def _positions(input, seg, K, want_min):
 def minimum_position(input, labels=None, index=None):
     """``scipy.ndimage.minimum_position``: coordinates of each
     region's first minimum."""
-    input, seg, K, _, scalar = _norm_labels_index(input, labels, index)
+    input, seg, K, expand, scalar = _norm_labels_index(
+        input, labels, index)
     pos = np.asarray(_positions(input, seg, K, True))
+    if expand is not None:
+        pos = pos[expand]
     coords = [tuple(int(c) for c in np.unravel_index(p, input.shape))
               for p in pos]
     return coords[0] if scalar else coords
@@ -309,8 +325,11 @@ def minimum_position(input, labels=None, index=None):
 
 def maximum_position(input, labels=None, index=None):
     """``scipy.ndimage.maximum_position``."""
-    input, seg, K, _, scalar = _norm_labels_index(input, labels, index)
+    input, seg, K, expand, scalar = _norm_labels_index(
+        input, labels, index)
     pos = np.asarray(_positions(input, seg, K, False))
+    if expand is not None:
+        pos = pos[expand]
     coords = [tuple(int(c) for c in np.unravel_index(p, input.shape))
               for p in pos]
     return coords[0] if scalar else coords
@@ -328,7 +347,8 @@ def extrema(input, labels=None, index=None):
 def center_of_mass(input, labels=None, index=None):
     """``scipy.ndimage.center_of_mass``: mass-weighted mean coordinate
     per region (one ``segment_sum`` per axis)."""
-    input, seg, K, _, scalar = _norm_labels_index(input, labels, index)
+    input, seg, K, expand, scalar = _norm_labels_index(
+        input, labels, index)
     f = input.astype(jnp.float64 if jax.config.jax_enable_x64
                      else jnp.float32)
     total = _segment(f, seg, K, jax.ops.segment_sum, 0.0)
@@ -339,15 +359,17 @@ def center_of_mass(input, labels=None, index=None):
         coord = jnp.arange(input.shape[ax], dtype=f.dtype).reshape(view)
         s = _segment(f * coord, seg, K, jax.ops.segment_sum, 0.0)
         coms.append(np.asarray(s / total))
+    slots = range(K) if expand is None else expand
     out = [tuple(float(coms[ax][i]) for ax in range(input.ndim))
-           for i in range(K)]
+           for i in slots]
     return out[0] if scalar else out
 
 
 def histogram(input, min, max, bins, labels=None, index=None):
     """``scipy.ndimage.histogram``: per-region histograms as one 2-D
     segment reduction (segment = region * bins + bucket)."""
-    input, seg, K, _, scalar = _norm_labels_index(input, labels, index)
+    input, seg, K, expand, scalar = _norm_labels_index(
+        input, labels, index)
     bins = int(bins)
     # bucket in the input's own float precision: a float32 round-trip
     # moves f64 values across bin edges (e.g. 3 - 1e-12 rounds up to the
@@ -362,11 +384,19 @@ def histogram(input, min, max, bins, labels=None, index=None):
         jnp.ones(input.size, jnp.int32), seg2.reshape(-1),
         num_segments=K * bins + 1)[:K * bins]
     counts = np.asarray(flat).reshape(K, bins)
+    # scipy (via labeled_comprehension's default) returns None for an
+    # index whose region has NO voxels at all — distinct from a
+    # non-empty region whose values all fall outside [min, max), which
+    # gets a zero histogram (found by tools/fuzz_ndimage.py)
+    nvox = np.asarray(_count(input, seg, K))
+    if expand is not None:
+        counts = counts[expand]
+        nvox = nvox[expand]
     if scalar:
-        return counts[0]
-    out = np.empty(K, dtype=object)
-    for i in range(K):
-        out[i] = counts[i]
+        return counts[0] if nvox[0] > 0 else None
+    out = np.empty(len(counts), dtype=object)
+    for i in range(len(counts)):
+        out[i] = counts[i] if nvox[i] > 0 else None
     return out
 
 

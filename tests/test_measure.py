@@ -232,3 +232,35 @@ def test_stats_with_absent_index(rng):
     got = ed.sum_labels(x, labels, [1, big])
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5,
                                atol=1e-6)
+
+
+def test_duplicate_index_entries():
+    # scipy allows repeated index values — every occurrence returns
+    # that label's statistic (a value->slot LUT lets the last duplicate
+    # win; found by tools/fuzz_ndimage.py)
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((4, 5)) * 5
+    lab = rng.integers(0, 4, (4, 5)).astype(np.int32)
+    idx = [2, 4, 1, 2, 3, 2]
+    for op in ("sum_labels", "mean", "variance", "minimum", "maximum",
+               "minimum_position", "maximum_position",
+               "center_of_mass"):
+        got = np.asarray(getattr(ed, op)(x, lab, idx), dtype=np.float64)
+        want = np.asarray(getattr(scipy.ndimage, op)(x, lab, idx),
+                          dtype=np.float64)
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12,
+                                   err_msg=op)
+
+
+def test_histogram_empty_region_is_none():
+    # scipy returns None for an index with NO voxels (its
+    # labeled_comprehension default) but a zero histogram for a
+    # non-empty region whose values all fall outside [min, max)
+    x = np.array([1.0, 2.0, 50.0])
+    lab = np.array([1, 1, 2])
+    h = ed.histogram(x, 0.0, 10.0, 5, lab, [1, 3, 2])
+    hs = scipy.ndimage.histogram(x, 0.0, 10.0, 5, lab, [1, 3, 2])
+    assert h[1] is None and hs[1] is None
+    np.testing.assert_array_equal(h[0], hs[0])
+    np.testing.assert_array_equal(h[2], hs[2])     # zero, not None
+    assert h[2].sum() == 0

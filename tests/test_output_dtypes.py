@@ -241,3 +241,20 @@ def test_sum_alias_exported():
     np.testing.assert_allclose(np.asarray(ed.sum(v, lab, [1, 2])),
                                [3., 3.])
     assert ed.sum is ed.sum_labels
+
+
+def test_integer_cast_wraps_like_c(rng=None):
+    # scipy's filter tier stores results with a plain C cast: truncate
+    # toward zero, then WRAP modulo 2^bits. A uint8 correlate whose
+    # float result is negative or > 255 must wrap, not clamp (found by
+    # tools/fuzz_ndimage.py: float -30.27 -> 226, 547.3 -> 35).
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 255, (11,)).astype(np.uint8)
+    w = rng.standard_normal(4) * 3
+    got = np.asarray(ed.correlate(x, w, mode='constant', cval=1.5))
+    want = ndimage.correlate(x, w, mode='constant', cval=1.5)
+    np.testing.assert_array_equal(got, want)
+    xi = rng.integers(-100, 100, (9, 9)).astype(np.int8)
+    got = np.asarray(ed.sobel(xi, axis=0))
+    want = ndimage.sobel(xi, axis=0)
+    np.testing.assert_array_equal(got, want)

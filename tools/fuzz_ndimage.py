@@ -1,0 +1,422 @@
+"""Randomized differential fuzz of the scipy.ndimage parity tier.
+
+Draws random (op, params, dtype, shape) configurations and compares
+against scipy.ndimage on CPU (float64 path, x64 on): integer/bool ops
+must be exact, float ops within 1e-9 relative. Resampler-family modes
+are restricted to the ones where this library intentionally matches
+*modern* scipy (mirror/constant/wrap — the grid modes keep the
+reference's pre-1.6 semantics elsewhere, see docs/source/migration.rst).
+
+Usage:  python tools/fuzz_ndimage.py [N_CASES] [SEED]
+Prints one line per mismatch and a final PASS/FAIL summary.
+"""
+
+import sys
+import os
+import traceback
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import scipy.ndimage as ndi  # noqa: E402
+
+import elasticdeform_tpu as ed  # noqa: E402
+
+N_CASES = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+
+FILTER_MODES = ["reflect", "constant", "nearest", "mirror", "wrap"]
+GRID_MODES = ["mirror", "constant", "wrap"]  # modern-scipy-agreeing
+
+
+def rand_input(rng, ndim=None, dtypes=("f8", "f4", "i4", "u1")):
+    ndim = ndim or int(rng.integers(1, 4))
+    shape = tuple(int(v) for v in rng.integers(3, 14, ndim))
+    kind = rng.choice(dtypes)
+    if kind == "f8":
+        return rng.standard_normal(shape) * 10
+    if kind == "f4":
+        return (rng.standard_normal(shape) * 10).astype(np.float32)
+    if kind == "i4":
+        return rng.integers(-100, 100, shape).astype(np.int32)
+    return rng.integers(0, 255, shape).astype(np.uint8)
+
+
+def rand_origin(rng, sizes):
+    return tuple(int(rng.integers(-(s // 2), (s - 1) // 2 + 1))
+                 for s in sizes)
+
+
+def compare(name, got, want, float_tol=1e-9):
+    got = np.asarray(got)
+    want = np.asarray(want)
+    if got.shape != want.shape:
+        return f"{name}: shape {got.shape} vs {want.shape}"
+    if want.dtype.kind in "biu" or got.dtype.kind in "biu":
+        if got.dtype != want.dtype:
+            return f"{name}: dtype {got.dtype} vs {want.dtype}"
+        if not (got == want).all():
+            n = int((got != want).sum())
+            return f"{name}: {n}/{got.size} int mismatches"
+        return None
+    scale = max(1.0, float(np.abs(want).max()))
+    err = float(np.abs(got.astype(np.float64)
+                       - want.astype(np.float64)).max())
+    tol = float_tol * scale * (1e5 if want.dtype == np.float32 else 1.0)
+    if err > tol:
+        return f"{name}: float err {err:.3e} > {tol:.3e}"
+    return None
+
+
+def _compare_or_both_raise(name, f_ed, f_sp):
+    """Run both sides; if BOTH reject the config (e.g. an origin off
+    the kernel support) that's agreement, if only one raises it's a
+    contract mismatch."""
+    try:
+        got = f_ed()
+        ed_err = None
+    except (ValueError, RuntimeError) as e:
+        got, ed_err = None, e
+    try:
+        want = f_sp()
+        sp_err = None
+    except (ValueError, RuntimeError) as e:
+        want, sp_err = None, e
+    if (ed_err is None) != (sp_err is None):
+        return (f"{name}: raise parity — ours {ed_err!r} "
+                f"vs scipy {sp_err!r}")
+    if ed_err is not None:
+        return None
+    return compare(name, got, want)
+
+
+def case_gaussian(rng):
+    x = rand_input(rng)
+    sigma = float(rng.uniform(0.3, 3.0))
+    order = int(rng.integers(0, 3))
+    mode = str(rng.choice(FILTER_MODES))
+    cval = float(rng.uniform(-2, 2))
+    trunc = float(rng.uniform(1.0, 4.0))
+    kw = dict(order=order, mode=mode, cval=cval, truncate=trunc)
+    return compare("gaussian_filter",
+                   ed.gaussian_filter(x, sigma, **kw),
+                   ndi.gaussian_filter(x, sigma, **kw))
+
+
+def case_correlate(rng):
+    x = rand_input(rng)
+    conv = bool(rng.integers(0, 2))
+    kshape = tuple(int(v) for v in rng.integers(1, 5, x.ndim))
+    w = rng.standard_normal(kshape)
+    mode = str(rng.choice(FILTER_MODES))
+    cval = float(rng.uniform(-2, 2))
+    origin = rand_origin(rng, kshape)
+    f_ed = ed.convolve if conv else ed.correlate
+    f_sp = ndi.convolve if conv else ndi.correlate
+    name = "convolve" if conv else "correlate"
+    return _compare_or_both_raise(
+        name,
+        lambda: f_ed(x, w, mode=mode, cval=cval, origin=origin),
+        lambda: f_sp(x, w, mode=mode, cval=cval, origin=origin))
+
+
+def case_correlate1d(rng):
+    x = rand_input(rng)
+    conv = bool(rng.integers(0, 2))
+    k = int(rng.integers(1, 7))
+    w = rng.standard_normal(k)
+    axis = int(rng.integers(0, x.ndim))
+    mode = str(rng.choice(FILTER_MODES))
+    lo = -(k // 2)
+    hi = (k - 1) // 2
+    if conv:
+        lo, hi = -((k - 1) // 2), k // 2
+    origin = int(rng.integers(lo, hi + 1))
+    f_ed = ed.convolve1d if conv else ed.correlate1d
+    f_sp = ndi.convolve1d if conv else ndi.correlate1d
+    return _compare_or_both_raise(
+        "correlate1d",
+        lambda: f_ed(x, w, axis=axis, mode=mode, origin=origin),
+        lambda: f_sp(x, w, axis=axis, mode=mode, origin=origin))
+
+
+def case_uniform(rng):
+    x = rand_input(rng)
+    sizes = tuple(int(v) for v in rng.integers(1, 5, x.ndim))
+    mode = str(rng.choice(FILTER_MODES))
+    origin = rand_origin(rng, sizes)
+    return compare("uniform_filter",
+                   ed.uniform_filter(x, sizes, mode=mode, origin=origin),
+                   ndi.uniform_filter(x, sizes, mode=mode, origin=origin))
+
+
+def case_minmax(rng):
+    x = rand_input(rng)
+    use_fp = bool(rng.integers(0, 2))
+    mx = bool(rng.integers(0, 2))
+    mode = str(rng.choice(FILTER_MODES))
+    f_ed = ed.maximum_filter if mx else ed.minimum_filter
+    f_sp = ndi.maximum_filter if mx else ndi.minimum_filter
+    if use_fp:
+        fshape = tuple(int(v) for v in rng.integers(1, 4, x.ndim))
+        fp = rng.random(fshape) < 0.6
+        if not fp.any():
+            fp.flat[0] = True
+        origin = rand_origin(rng, fshape)
+        return compare("minmax_fp",
+                       f_ed(x, footprint=fp, mode=mode, origin=origin),
+                       f_sp(x, footprint=fp, mode=mode, origin=origin))
+    sizes = tuple(int(v) for v in rng.integers(1, 5, x.ndim))
+    origin = rand_origin(rng, sizes)
+    return compare("minmax_size",
+                   f_ed(x, sizes, mode=mode, origin=origin),
+                   f_sp(x, sizes, mode=mode, origin=origin))
+
+
+def case_rank(rng):
+    x = rand_input(rng)
+    fshape = tuple(int(v) for v in rng.integers(1, 4, x.ndim))
+    fp = rng.random(fshape) < 0.7
+    if not fp.any():
+        fp.flat[0] = True
+    k = int(fp.sum())
+    mode = str(rng.choice(FILTER_MODES))
+    origin = rand_origin(rng, fshape)
+    which = rng.choice(["rank", "median", "percentile"])
+    if which == "rank":
+        r = int(rng.integers(-k, k))
+        return compare("rank_filter",
+                       ed.rank_filter(x, r, footprint=fp, mode=mode,
+                                      origin=origin),
+                       ndi.rank_filter(x, r, footprint=fp, mode=mode,
+                                       origin=origin))
+    if which == "median":
+        return compare("median_filter",
+                       ed.median_filter(x, footprint=fp, mode=mode,
+                                        origin=origin),
+                       ndi.median_filter(x, footprint=fp, mode=mode,
+                                         origin=origin))
+    p = float(rng.uniform(0, 100))
+    return compare("percentile_filter",
+                   ed.percentile_filter(x, p, footprint=fp, mode=mode,
+                                        origin=origin),
+                   ndi.percentile_filter(x, p, footprint=fp, mode=mode,
+                                         origin=origin))
+
+
+def case_grey(rng):
+    x = rand_input(rng)
+    sizes = tuple(int(v) for v in rng.integers(1, 4, x.ndim))
+    mode = str(rng.choice(FILTER_MODES))
+    op = rng.choice(["grey_erosion", "grey_dilation", "grey_opening",
+                     "grey_closing", "morphological_gradient",
+                     "morphological_laplace", "white_tophat",
+                     "black_tophat"])
+    return compare(op,
+                   getattr(ed, op)(x, size=sizes, mode=mode),
+                   getattr(ndi, op)(x, size=sizes, mode=mode))
+
+
+def case_binary(rng):
+    ndim = int(rng.integers(1, 4))
+    shape = tuple(int(v) for v in rng.integers(3, 16, ndim))
+    x = rng.random(shape) < rng.uniform(0.2, 0.8)
+    conn = int(rng.integers(1, ndim + 1))
+    st = ndi.generate_binary_structure(ndim, conn)
+    op = rng.choice(["binary_erosion", "binary_dilation",
+                     "binary_opening", "binary_closing"])
+    iters = int(rng.integers(1, 4))
+    bv = int(rng.integers(0, 2))
+    mask = (rng.random(shape) < 0.85) if rng.integers(0, 2) else None
+    kw = dict(structure=st, iterations=iters, mask=mask,
+              border_value=bv)
+    return compare(op, getattr(ed, op)(x, **kw),
+                   getattr(ndi, op)(x, **kw))
+
+
+def case_fill_prop(rng):
+    ndim = int(rng.integers(1, 4))
+    shape = tuple(int(v) for v in rng.integers(3, 16, ndim))
+    x = rng.random(shape) < rng.uniform(0.2, 0.7)
+    conn = int(rng.integers(1, ndim + 1))
+    st = ndi.generate_binary_structure(ndim, conn)
+    if rng.integers(0, 2):
+        return compare("binary_fill_holes",
+                       ed.binary_fill_holes(x, st),
+                       ndi.binary_fill_holes(x, st))
+    mask = rng.random(shape) < 0.8
+    seed = x & (rng.random(shape) < 0.4)
+    return compare("binary_propagation",
+                   ed.binary_propagation(seed, st, mask),
+                   ndi.binary_propagation(seed, st, mask))
+
+
+def case_label(rng):
+    ndim = int(rng.integers(1, 4))
+    shape = tuple(int(v) for v in rng.integers(3, 16, ndim))
+    x = rng.random(shape) < rng.uniform(0.2, 0.8)
+    conn = int(rng.integers(1, ndim + 1))
+    st = ndi.generate_binary_structure(ndim, conn)
+    a, na = ed.label(x, st)
+    b, nb = ndi.label(x, st)
+    if na != nb:
+        return f"label: count {na} vs {nb}"
+    return compare("label", a, b)
+
+
+def case_edt(rng):
+    ndim = int(rng.integers(1, 4))
+    shape = tuple(int(v) for v in rng.integers(3, 16, ndim))
+    x = rng.random(shape) < rng.uniform(0.3, 0.9)
+    if x.all():
+        # all-foreground EDT is undefined (no zero exists); scipy
+        # emits an index-artifact ramp, this library a sentinel — a
+        # documented deviation, not a fuzz target
+        x.flat[int(rng.integers(0, x.size))] = False
+    sampling = (tuple(float(v) for v in rng.uniform(0.5, 2.0, ndim))
+                if rng.integers(0, 2) else None)
+    got = ed.distance_transform_edt(x, sampling=sampling)
+    want = ndi.distance_transform_edt(x, sampling=sampling)
+    return compare("edt", got, want, float_tol=1e-7)
+
+
+def case_deriv(rng):
+    x = rand_input(rng, dtypes=("f8",))
+    mode = str(rng.choice(FILTER_MODES))
+    op = rng.choice(["sobel", "prewitt", "laplace"])
+    if op == "laplace":
+        return compare("laplace", ed.laplace(x, mode=mode),
+                       ndi.laplace(x, mode=mode))
+    axis = int(rng.integers(0, x.ndim))
+    return compare(op, getattr(ed, op)(x, axis=axis, mode=mode),
+                   getattr(ndi, op)(x, axis=axis, mode=mode))
+
+
+def case_fourier(rng):
+    ndim = int(rng.integers(1, 3))
+    shape = tuple(int(v) for v in rng.integers(4, 12, ndim))
+    z = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    which = rng.choice(["gaussian", "uniform", "shift"])
+    if which == "gaussian":
+        s = float(rng.uniform(0.5, 3.0))
+        return compare("fourier_gaussian", ed.fourier_gaussian(z, s),
+                       ndi.fourier_gaussian(z, s))
+    if which == "uniform":
+        s = float(rng.uniform(1.0, 4.0))
+        return compare("fourier_uniform", ed.fourier_uniform(z, s),
+                       ndi.fourier_uniform(z, s))
+    sh = tuple(float(v) for v in rng.uniform(-3, 3, ndim))
+    return compare("fourier_shift", ed.fourier_shift(z, sh),
+                   ndi.fourier_shift(z, sh))
+
+
+def case_resample(rng):
+    x = rand_input(rng, dtypes=("f8",))
+    order = int(rng.integers(0, 6))
+    mode = str(rng.choice(GRID_MODES))
+    cval = float(rng.uniform(-2, 2))
+    which = rng.choice(["shift", "rotate", "affine", "mapcoords"])
+    if which == "shift":
+        sh = tuple(float(v) for v in rng.uniform(-2, 2, x.ndim))
+        return compare("shift",
+                       ed.shift(x, sh, order=order, mode=mode, cval=cval),
+                       ndi.shift(x, sh, order=order, mode=mode,
+                                 cval=cval), 1e-8)
+    if which == "rotate" and x.ndim >= 2:
+        ang = float(rng.uniform(-90, 90))
+        return compare("rotate",
+                       ed.rotate(x, ang, reshape=False, order=order,
+                                 mode=mode, cval=cval),
+                       ndi.rotate(x, ang, reshape=False, order=order,
+                                  mode=mode, cval=cval), 1e-8)
+    if which == "affine":
+        mat = np.eye(x.ndim) + rng.standard_normal(
+            (x.ndim, x.ndim)) * 0.1
+        off = rng.uniform(-2, 2, x.ndim)
+        return compare("affine_transform",
+                       ed.affine_transform(x, mat, off, order=order,
+                                           mode=mode, cval=cval),
+                       ndi.affine_transform(x, mat, off, order=order,
+                                            mode=mode, cval=cval), 1e-8)
+    coords = np.indices(x.shape).astype(np.float64)
+    coords = coords + rng.standard_normal(coords.shape) * 1.5
+    return compare("map_coordinates",
+                   ed.map_coordinates(x, coords, order=order, mode=mode,
+                                      cval=cval),
+                   ndi.map_coordinates(x, coords, order=order, mode=mode,
+                                       cval=cval), 1e-8)
+
+
+def case_measure(rng):
+    ndim = int(rng.integers(1, 4))
+    shape = tuple(int(v) for v in rng.integers(3, 12, ndim))
+    x = rng.standard_normal(shape) * 5
+    lab = rng.integers(0, 5, shape).astype(np.int32)
+    k = int(rng.integers(1, 6))
+    index = list(rng.integers(0, 6, k))
+    op = rng.choice(["sum_labels", "mean", "variance",
+                     "standard_deviation", "minimum", "maximum",
+                     "median", "center_of_mass", "minimum_position",
+                     "maximum_position"])
+    if op == "median":
+        # scipy's median of an EMPTY region returns a sort-block
+        # artifact (e.g. 1.0); this library returns NaN — keep the
+        # fuzz on defined behaviour only
+        present = np.unique(lab)
+        index = [int(v) for v in present[
+            rng.integers(0, len(present), k)]]
+    got = np.asarray(getattr(ed, op)(x, lab, index), np.float64)
+    want = np.asarray(getattr(ndi, op)(x, lab, index), np.float64)
+    if not (np.isnan(got) == np.isnan(want)).all():
+        return f"{op}: NaN pattern differs"
+    return compare(op, np.nan_to_num(got), np.nan_to_num(want), 1e-9)
+
+
+CASES = [case_gaussian, case_correlate, case_correlate1d, case_uniform,
+         case_minmax, case_rank, case_grey, case_binary, case_fill_prop,
+         case_label, case_edt, case_deriv, case_fourier, case_resample,
+         case_measure]
+
+
+def main():
+    rng = np.random.default_rng(SEED)
+    failures = []
+    errors = []
+    per_case = {}
+    for i in range(N_CASES):
+        fn = CASES[i % len(CASES)]
+        per_case[fn.__name__] = per_case.get(fn.__name__, 0) + 1
+        sub = np.random.default_rng(rng.integers(0, 2**63))
+        try:
+            msg = fn(sub)
+        except Exception as e:  # noqa: BLE001 — report, keep fuzzing
+            errors.append(f"{i:4d} {fn.__name__}: EXCEPTION {e!r}")
+            traceback.print_exc()
+            continue
+        if msg:
+            failures.append(f"{i:4d} {msg}")
+            print("MISMATCH", failures[-1], flush=True)
+        if (i + 1) % 50 == 0:
+            print(f"... {i+1}/{N_CASES} "
+                  f"({len(failures)} mismatches, {len(errors)} errors)",
+                  flush=True)
+    print(f"cases per generator: {per_case}")
+    if failures or errors:
+        print(f"FAIL: {len(failures)} mismatches, {len(errors)} errors")
+        for m in failures[:40]:
+            print(" ", m)
+        for m in errors[:40]:
+            print(" ", m)
+        sys.exit(1)
+    print(f"PASS: {N_CASES} randomized configs match scipy")
+
+
+if __name__ == "__main__":
+    main()
