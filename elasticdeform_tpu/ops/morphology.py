@@ -450,6 +450,12 @@ def _binary_stencil(shape, structure, origin, dilation):
 
 
 def _binary_step(x, taps, pads, border_value, dilation, out_shape):
+    if not taps:
+        # empty structuring element: erosion is the empty conjunction
+        # (all True), dilation the empty disjunction (all False) —
+        # scipy's convention; found by tools/fuzz_ndimage.py via
+        # binary_hit_or_miss with an all-True s1 (=> all-False s2)
+        return jnp.full(out_shape, not dilation)
     Xp = jnp.pad(x, pads, constant_values=bool(border_value))
     views = _tap_slices(Xp, out_shape, taps)
     acc = None

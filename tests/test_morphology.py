@@ -440,3 +440,23 @@ def test_structure_helpers():
     want, worig = scipy.ndimage.iterate_structure(s, 2, origin=(0, 0))
     np.testing.assert_array_equal(ours, want)
     assert list(oorig) == list(worig)
+
+
+def test_empty_structure_scipy_convention(rng):
+    # an all-False structuring element: erosion is the empty
+    # conjunction (all True), dilation the empty disjunction (all
+    # False) — and hit_or_miss with an all-True s1 implies an all-False
+    # s2 (crashed with `array & None` before; found by
+    # tools/fuzz_ndimage.py)
+    x = rng.random((5, 6)) < 0.5
+    st = np.zeros((1, 1), bool)
+    np.testing.assert_array_equal(
+        np.asarray(ed.binary_erosion(x, st)),
+        scipy.ndimage.binary_erosion(x, st))
+    np.testing.assert_array_equal(
+        np.asarray(ed.binary_dilation(x, st)),
+        scipy.ndimage.binary_dilation(x, st))
+    s1 = np.ones((1, 2), bool)
+    np.testing.assert_array_equal(
+        np.asarray(ed.binary_hit_or_miss(x, s1)),
+        scipy.ndimage.binary_hit_or_miss(x, s1))

@@ -379,10 +379,85 @@ def case_measure(rng):
     return compare(op, np.nan_to_num(got), np.nan_to_num(want), 1e-9)
 
 
+def case_grey_structure(rng):
+    # non-flat structuring elements (integer inputs follow this
+    # library's documented trunc contract, so float only here)
+    x = rand_input(rng, dtypes=("f8",))
+    sshape = tuple(int(v) for v in rng.integers(1, 4, x.ndim))
+    st = rng.standard_normal(sshape) * 2
+    mode = str(rng.choice(FILTER_MODES))
+    op = rng.choice(["grey_erosion", "grey_dilation"])
+    return compare(op,
+                   getattr(ed, op)(x, structure=st, mode=mode),
+                   getattr(ndi, op)(x, structure=st, mode=mode))
+
+
+def case_hit_or_miss(rng):
+    ndim = int(rng.integers(1, 4))
+    shape = tuple(int(v) for v in rng.integers(4, 14, ndim))
+    x = rng.random(shape) < rng.uniform(0.3, 0.7)
+    s1 = rng.random(tuple(int(v) for v in
+                          rng.integers(1, 4, ndim))) < 0.5
+    if not s1.any():
+        s1.flat[0] = True
+    return compare("binary_hit_or_miss",
+                   ed.binary_hit_or_miss(x, s1),
+                   ndi.binary_hit_or_miss(x, s1))
+
+
+def case_gauss_deriv(rng):
+    x = rand_input(rng, dtypes=("f8",))
+    sigma = float(rng.uniform(0.5, 2.5))
+    mode = str(rng.choice(FILTER_MODES))
+    op = rng.choice(["gaussian_laplace", "gaussian_gradient_magnitude"])
+    return compare(op, getattr(ed, op)(x, sigma, mode=mode),
+                   getattr(ndi, op)(x, sigma, mode=mode))
+
+
+def case_zoom(rng):
+    x = rand_input(rng, dtypes=("f8",))
+    order = int(rng.integers(0, 6))
+    mode = str(rng.choice(GRID_MODES))
+    z = float(rng.uniform(0.5, 2.0))
+    return compare("zoom",
+                   ed.zoom(x, z, order=order, mode=mode),
+                   ndi.zoom(x, z, order=order, mode=mode), 1e-8)
+
+
+def case_spline_filter(rng):
+    x = rand_input(rng, dtypes=("f8",))
+    order = int(rng.integers(2, 6))
+    if rng.integers(0, 2):
+        axis = int(rng.integers(0, x.ndim))
+        return compare("spline_filter1d",
+                       ed.spline_filter1d(x, order=order, axis=axis),
+                       ndi.spline_filter1d(x, order=order, axis=axis),
+                       1e-8)
+    return compare("spline_filter",
+                   ed.spline_filter(x, order=order),
+                   ndi.spline_filter(x, order=order), 1e-8)
+
+
+def case_binary_iterstruct(rng):
+    # iterations>1 with origin and iterate_structure interplay
+    ndim = int(rng.integers(1, 3))
+    shape = tuple(int(v) for v in rng.integers(5, 16, ndim))
+    x = rng.random(shape) < rng.uniform(0.3, 0.7)
+    st = ndi.generate_binary_structure(ndim, int(rng.integers(1, ndim + 1)))
+    origin = tuple(int(rng.integers(-1, 2)) for _ in range(ndim))
+    op = rng.choice(["binary_erosion", "binary_dilation"])
+    it = int(rng.integers(1, 4))
+    return compare(op + "_origin",
+                   getattr(ed, op)(x, st, iterations=it, origin=origin),
+                   getattr(ndi, op)(x, st, iterations=it, origin=origin))
+
+
 CASES = [case_gaussian, case_correlate, case_correlate1d, case_uniform,
          case_minmax, case_rank, case_grey, case_binary, case_fill_prop,
          case_label, case_edt, case_deriv, case_fourier, case_resample,
-         case_measure]
+         case_measure, case_grey_structure, case_hit_or_miss,
+         case_gauss_deriv, case_zoom, case_spline_filter,
+         case_binary_iterstruct]
 
 
 def main():
