@@ -383,7 +383,10 @@ def histogram(input, min, max, bins, labels=None, index=None):
     flat = jax.ops.segment_sum(
         jnp.ones(input.size, jnp.int32), seg2.reshape(-1),
         num_segments=K * bins + 1)[:K * bins]
-    counts = np.asarray(flat).reshape(K, bins)
+    # scipy's histogram counts are int64 (np.histogram's dtype); the
+    # device reduction runs in int32 (plenty for voxel counts) and the
+    # host cast restores the contract (found by tools/fuzz_ndimage.py)
+    counts = np.asarray(flat, np.int64).reshape(K, bins)
     # scipy (via labeled_comprehension's default) returns None for an
     # index whose region has NO voxels at all — distinct from a
     # non-empty region whose values all fall outside [min, max), which

@@ -452,12 +452,223 @@ def case_binary_iterstruct(rng):
                    getattr(ndi, op)(x, st, iterations=it, origin=origin))
 
 
+def case_cdt_bf(rng):
+    # chamfer / brute-force distance transforms (distances only: index
+    # tie-breaking is implementation-defined in scipy)
+    ndim = int(rng.integers(1, 4))
+    shape = tuple(int(v) for v in rng.integers(3, 16, ndim))
+    x = rng.random(shape) < rng.uniform(0.3, 0.9)
+    if x.all():
+        x.flat[int(rng.integers(0, x.size))] = False
+    which = int(rng.integers(0, 3))
+    if which == 0:
+        metric = str(rng.choice(["chessboard", "taxicab"]))
+        return compare("cdt_" + metric,
+                       ed.distance_transform_cdt(x, metric),
+                       ndi.distance_transform_cdt(x, metric))
+    if which == 1:
+        metric = str(rng.choice(["chessboard", "taxicab"]))
+        return compare("bf_" + metric,
+                       ed.distance_transform_bf(x, metric),
+                       ndi.distance_transform_bf(x, metric))
+    sampling = (tuple(float(v) for v in rng.uniform(0.5, 2.0, ndim))
+                if rng.integers(0, 2) else None)
+    return compare("bf_euclidean",
+                   ed.distance_transform_bf(x, "euclidean",
+                                            sampling=sampling),
+                   ndi.distance_transform_bf(x, "euclidean",
+                                             sampling=sampling), 1e-7)
+
+
+def case_measure2(rng):
+    # the labeled-statistics surface the original case_measure misses:
+    # extrema, histogram, find_objects, labeled_comprehension,
+    # value_indices, and the deprecated `sum` alias
+    ndim = int(rng.integers(1, 4))
+    shape = tuple(int(v) for v in rng.integers(3, 12, ndim))
+    x = rng.standard_normal(shape) * 5
+    lab = rng.integers(0, 5, shape).astype(np.int32)
+    k = int(rng.integers(1, 6))
+    index = [int(v) for v in rng.integers(0, 6, k)]
+    which = int(rng.integers(0, 6))
+    if which == 0:
+        g = ed.extrema(x, lab, index)
+        w = ndi.extrema(x, lab, index)
+        for name, a, b in zip(("min", "max", "minpos", "maxpos"),
+                              g, w):
+            r = compare("extrema_" + name,
+                        np.asarray(a, np.float64),
+                        np.asarray(b, np.float64))
+            if r:
+                return r
+        return None
+    if which == 1:
+        lo, hi = np.sort(rng.standard_normal(2) * 5)
+        if hi - lo < 0.1:
+            hi = lo + 1.0
+        bins = int(rng.integers(1, 8))
+        g = ed.histogram(x, lo, hi, bins, lab, index)
+        w = ndi.histogram(x, lo, hi, bins, lab, index)
+        for i, (a, b) in enumerate(zip(g, w)):
+            if (a is None) != (b is None):
+                return f"histogram[{i}]: None parity {a} vs {b}"
+            if a is not None:
+                r = compare(f"histogram[{i}]", np.asarray(a),
+                            np.asarray(b))
+                if r:
+                    return r
+        return None
+    if which == 2:
+        ml = int(rng.integers(0, 7))
+        g = ed.find_objects(lab, max_label=ml)
+        w = ndi.find_objects(lab, max_label=ml)
+        return None if g == w else f"find_objects: {g} vs {w}"
+    if which == 3:
+        g = ed.labeled_comprehension(x, lab, index, np.sum,
+                                     np.float64, -1.0)
+        w = ndi.labeled_comprehension(x, lab, index, np.sum,
+                                      np.float64, -1.0)
+        return compare("labeled_comprehension", g, w)
+    if which == 4:
+        ign = int(rng.integers(0, 5)) if rng.integers(0, 2) else None
+        g = ed.value_indices(lab, ignore_value=ign)
+        w = ndi.value_indices(lab, ignore_value=ign)
+        if sorted(g.keys()) != sorted(w.keys()):
+            return f"value_indices: keys {sorted(g)} vs {sorted(w)}"
+        for key in w:
+            for a, b in zip(g[key], w[key]):
+                if not (np.asarray(a) == np.asarray(b)).all():
+                    return f"value_indices[{key}]: index mismatch"
+        return None
+    return compare("sum_alias", ed.sum(x, lab, index),
+                   ndi.sum(x, lab, index))
+
+
+def case_filter1d(rng):
+    # the 1-D separable filter entry points with random axis/origin
+    x = rand_input(rng)
+    axis = int(rng.integers(-x.ndim, x.ndim))
+    mode = str(rng.choice(FILTER_MODES))
+    which = int(rng.integers(0, 4))
+    if which == 0:
+        sigma = float(rng.uniform(0.3, 3.0))
+        order = int(rng.integers(0, 4))
+        return compare(
+            "gaussian_filter1d",
+            ed.gaussian_filter1d(x, sigma, axis=axis, order=order,
+                                 mode=mode),
+            ndi.gaussian_filter1d(x, sigma, axis=axis, order=order,
+                                  mode=mode))
+    size = int(rng.integers(1, 7))
+    origin = int(rng.integers(-(size // 2), (size - 1) // 2 + 1))
+    name = ["uniform_filter1d", "minimum_filter1d",
+            "maximum_filter1d"][which - 1]
+    return compare(
+        name,
+        getattr(ed, name)(x, size, axis=axis, mode=mode, origin=origin),
+        getattr(ndi, name)(x, size, axis=axis, mode=mode,
+                           origin=origin))
+
+
+def case_generic(rng):
+    # user-callable filters; the callable CONTRACTS differ by design
+    # (traced functional vs scipy's per-voxel/in-place buffers), so each
+    # side gets its own adapter computing the same math
+    x = rand_input(rng, dtypes=("f8",))
+    mode = str(rng.choice(FILTER_MODES))
+    which = int(rng.integers(0, 4))
+    if which == 0:
+        sizes = tuple(int(v) for v in rng.integers(1, 4, x.ndim))
+        origin = rand_origin(rng, sizes)
+        fn = lambda v: (v * v).sum()  # noqa: E731
+        return compare(
+            "generic_filter",
+            ed.generic_filter(x, fn, size=sizes, mode=mode,
+                              origin=origin),
+            ndi.generic_filter(x, fn, size=sizes, mode=mode,
+                               origin=origin))
+    if which == 1:
+        size = int(rng.integers(1, 6))
+        axis = int(rng.integers(-x.ndim, x.ndim))
+        n = x.shape[axis]
+
+        def ours(line):  # extended line -> output line (length n)
+            return sum(line[i:i + n] for i in range(size)) / size
+
+        def theirs(iline, oline):  # scipy's in-place contract
+            m = oline.size
+            acc = np.zeros(m)
+            for i in range(size):
+                acc += iline[i:i + m]
+            oline[...] = acc / size
+
+        return compare(
+            "generic_filter1d",
+            ed.generic_filter1d(x, ours, size, axis=axis, mode=mode),
+            ndi.generic_filter1d(x, theirs, size, axis=axis, mode=mode))
+    kern = rng.standard_normal(3)
+    if which == 2:
+        return compare(
+            "generic_laplace",
+            ed.generic_laplace(
+                x, lambda inp, ax, m, cv: ed.correlate1d(
+                    inp, kern, axis=ax, mode=m, cval=cv), mode=mode),
+            ndi.generic_laplace(
+                x, lambda inp, ax, out, m, cv: ndi.correlate1d(
+                    inp, kern, axis=ax, output=out, mode=m, cval=cv),
+                mode=mode))
+    return compare(
+        "generic_gradient_magnitude",
+        ed.generic_gradient_magnitude(
+            x, lambda inp, ax, m, cv: ed.correlate1d(
+                inp, kern, axis=ax, mode=m, cval=cv), mode=mode),
+        ndi.generic_gradient_magnitude(
+            x, lambda inp, ax, out, m, cv: ndi.correlate1d(
+                inp, kern, axis=ax, output=out, mode=m, cval=cv),
+            mode=mode))
+
+
+def case_fourier_ellipsoid(rng):
+    # operates on "fourier coefficients"; random real input exercises
+    # the multiplier directly (scipy limits this one to 1-3 D)
+    ndim = int(rng.integers(1, 4))
+    shape = tuple(int(v) for v in rng.integers(3, 14, ndim))
+    x = rng.standard_normal(shape)
+    size = (float(rng.uniform(0.5, 4.0)) if rng.integers(0, 2)
+            else tuple(float(v) for v in rng.uniform(0.5, 4.0, ndim)))
+    n = -1 if rng.integers(0, 2) else shape[-1]
+    return compare("fourier_ellipsoid",
+                   ed.fourier_ellipsoid(x, size, n=n),
+                   ndi.fourier_ellipsoid(x, size, n=n), 1e-8)
+
+
+def case_geometric(rng):
+    # shared mapping lambda: works on scipy's int tuples AND on traces
+    x = rand_input(rng, dtypes=("f8",))
+    order = int(rng.integers(0, 6))
+    mode = str(rng.choice(GRID_MODES))
+    scale = rng.uniform(0.5, 1.5, x.ndim)
+    off = rng.uniform(-2.0, 2.0, x.ndim)
+    mapping = lambda c: tuple(  # noqa: E731
+        c[i] * scale[i] + off[i] for i in range(len(c)))
+    out_shape = (tuple(int(v) for v in rng.integers(2, 10, x.ndim))
+                 if rng.integers(0, 2) else None)
+    return compare(
+        "geometric_transform",
+        ed.geometric_transform(x, mapping, output_shape=out_shape,
+                               order=order, mode=mode),
+        ndi.geometric_transform(x, mapping, output_shape=out_shape,
+                                order=order, mode=mode), 1e-8)
+
+
 CASES = [case_gaussian, case_correlate, case_correlate1d, case_uniform,
          case_minmax, case_rank, case_grey, case_binary, case_fill_prop,
          case_label, case_edt, case_deriv, case_fourier, case_resample,
          case_measure, case_grey_structure, case_hit_or_miss,
          case_gauss_deriv, case_zoom, case_spline_filter,
-         case_binary_iterstruct]
+         case_binary_iterstruct, case_cdt_bf, case_measure2,
+         case_filter1d, case_generic, case_fourier_ellipsoid,
+         case_geometric]
 
 
 def main():

@@ -58,8 +58,11 @@ fi
 bash tools/build_reference.sh
 RC[refbuild]=$?
 
-# 2. full differential parity sweep vs the reference C (must print PASS)
-timeout 1800 python tools/tpu_parity.py
+# 2. full differential parity sweep vs the reference C (must print PASS).
+# 3000 s: the sweep is compile-dominated and has grown with the ndimage
+# tier — the 2026-08-20 01:06 run was all-ok but was timeout-killed at
+# 1800 s before the distance/label checks (FAIL artifact, rc=124).
+timeout 3000 python tools/tpu_parity.py
 RC[parity]=$?
 
 # 3. bf16x3 ordering/elision guard with the split FORCED ON
