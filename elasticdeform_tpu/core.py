@@ -1005,6 +1005,14 @@ def _resolve_output(X, output):
     return jnp.dtype(output), None
 
 
+def _truncating_dtype(dtype):
+    """True when ``_finish_filter`` will truncate the float result
+    (integer/bool output) — the callers then request scipy's exact
+    paired summation order so the pre-cast value is bit-identical."""
+    dtype = jnp.dtype(dtype)
+    return bool(jnp.issubdtype(dtype, jnp.integer)) or dtype == jnp.bool_
+
+
 def _finish_filter(result, dtype, out_array=None):
     """Cast a float filter result to scipy's output dtype: integer
     results truncate toward zero and then WRAP modulo 2^bits — the C
@@ -1055,7 +1063,8 @@ def gaussian_filter1d(X, sigma, axis=-1, *, order=0, mode='reflect',
     from elasticdeform_tpu.ops.filters import apply_filter1d
     dtype, out_array = _resolve_output(X, output)
     res = apply_filter1d(jnp.asarray(X), axis, sigma, order, mode, cval,
-                         truncate, radius)
+                         truncate, radius,
+                         int_exact=_truncating_dtype(dtype))
     return _finish_filter(res, dtype, out_array)
 
 
@@ -1179,7 +1188,7 @@ def correlate1d(X, weights, axis=-1, *, mode='reflect', cval=0.0,
     from elasticdeform_tpu.ops.filters import apply_correlate1d
     dtype, out_array = _resolve_output(X, output)
     res = apply_correlate1d(jnp.asarray(X), weights, axis, mode, cval,
-                            origin)
+                            origin, int_exact=_truncating_dtype(dtype))
     return _finish_filter(res, dtype, out_array)
 
 
@@ -1690,8 +1699,8 @@ def generic_gradient_magnitude(X, derivative, *, mode='reflect',
     return _finish_filter(jnp.sqrt(out), dtype, out_array)
 
 
-def generic_filter(X, function, size=None, footprint=None, *,
-                   mode='reflect', cval=0.0, origin=0,
+def generic_filter(X, function, size=None, footprint=None, output=None,
+                   *, mode='reflect', cval=0.0, origin=0,
                    extra_arguments=(), extra_keywords=None, axes=None):
     """Window filter with a user callable
     (``scipy.ndimage.generic_filter`` equivalent). The footprint taps
@@ -1699,11 +1708,15 @@ def generic_filter(X, function, size=None, footprint=None, *,
     (raster order, like scipy's window buffer) and ``function`` — a
     JAX-traceable callable taking the 1-D tap vector — is ``vmap``-ed
     over all voxels at once, so one traced program replaces scipy's
-    per-voxel Python callback."""
+    per-voxel Python callback. A callable that insists on real numpy
+    arrays (``np.ptp``, numba cfuncs, ...) falls back to one host call
+    per voxel for eager callers — scipy's own speed — but cannot be
+    jitted."""
     from elasticdeform_tpu.ops import morphology as _m
     import numpy as _np
     extra_keywords = extra_keywords or {}
     X = jnp.asarray(X)
+    out_dtype, out_array = _resolve_output(X, output)
     axes_t = _m._normalize_axes(axes, X.ndim)
     if footprint is None:
         if size is None:
@@ -1722,11 +1735,23 @@ def generic_filter(X, function, size=None, footprint=None, *,
     k = stack.shape[-1]
     flat = stack.reshape(-1, k)
     fn = lambda v: function(v, *extra_arguments, **extra_keywords)
-    out = jax.vmap(fn)(flat)
-    return out.reshape(X.shape)
+    try:
+        out = jnp.asarray(jax.vmap(fn)(flat))
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError,
+            jax.errors.TracerBoolConversionError):
+        if isinstance(X, jax.core.Tracer):
+            raise
+        # numpy-consuming callable (scipy's usual case, e.g. np.ptp):
+        # fall back to one host call per voxel — same per-voxel Python
+        # cost scipy pays, available only to eager callers
+        rows = _np.asarray(flat)
+        vals = [fn(rows[i]) for i in range(rows.shape[0])]
+        out = jnp.asarray(_np.asarray(vals))
+    return _finish_filter(out.reshape(X.shape), out_dtype, out_array)
 
 
-def generic_filter1d(X, function, filter_size, axis=-1, *,
+def generic_filter1d(X, function, filter_size, axis=-1, output=None, *,
                      mode='reflect', cval=0.0, origin=0,
                      extra_arguments=(), extra_keywords=None):
     """Line filter with a user callable
@@ -1735,10 +1760,12 @@ def generic_filter1d(X, function, filter_size, axis=-1, *,
     adaptation is functional: ``function(line_in) -> line_out`` where
     ``line_in`` is the boundary-extended line of length
     ``n + filter_size - 1`` and the result has length ``n``. The
-    callable is ``vmap``-ed over all lines."""
+    callable is ``vmap``-ed over all lines; numpy-consuming callables
+    fall back to one host call per line for eager callers."""
     from elasticdeform_tpu.ops import morphology as _m
     extra_keywords = extra_keywords or {}
     X = jnp.asarray(X)
+    out_dtype, out_array = _resolve_output(X, output)
     axis = axis % X.ndim
     size = int(filter_size)
     if size < 1:
@@ -1752,13 +1779,24 @@ def generic_filter1d(X, function, filter_size, axis=-1, *,
     moved = jnp.moveaxis(Xp, axis, -1)
     lines = moved.reshape(-1, moved.shape[-1])
     fn = lambda v: function(v, *extra_arguments, **extra_keywords)
-    out = jax.vmap(fn)(lines)
+    try:
+        out = jnp.asarray(jax.vmap(fn)(lines))
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError,
+            jax.errors.TracerBoolConversionError):
+        if isinstance(X, jax.core.Tracer):
+            raise
+        import numpy as _np
+        rows = _np.asarray(lines)
+        out = jnp.asarray(_np.stack([_np.asarray(fn(rows[i]))
+                                     for i in range(rows.shape[0])]))
     if out.shape[-1] != n:
         raise ValueError(
             f"function must return lines of length {n}; got "
             f"{out.shape[-1]}")
     out = out.reshape(moved.shape[:-1] + (n,))
-    return jnp.moveaxis(out, -1, axis)
+    return _finish_filter(jnp.moveaxis(out, -1, axis), out_dtype,
+                          out_array)
 
 
 def vectorized_filter(X, function, *, size=None, footprint=None,

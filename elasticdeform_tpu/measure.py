@@ -368,16 +368,29 @@ def center_of_mass(input, labels=None, index=None):
 def histogram(input, min, max, bins, labels=None, index=None):
     """``scipy.ndimage.histogram``: per-region histograms as one 2-D
     segment reduction (segment = region * bins + bucket)."""
+    raw = input
     input, seg, K, expand, scalar = _norm_labels_index(
         input, labels, index)
     bins = int(bins)
     # bucket in the input's own float precision: a float32 round-trip
     # moves f64 values across bin edges (e.g. 3 - 1e-12 rounds up to the
     # exclusive max and is dropped) — same precision policy as sum_labels
-    f = input.astype(jnp.float64 if jax.config.jax_enable_x64
-                     else jnp.float32)
-    bucket = jnp.floor((f - min) * bins / (max - min)).astype(jnp.int32)
-    ok = (f >= min) & (f < max) & (seg >= 0)
+    if (not jax.config.jax_enable_x64
+            and not isinstance(raw, jax.core.Tracer)
+            and np.asarray(raw).dtype == np.float64):
+        # x64 off truncates f64 host data at jnp.asarray itself, before
+        # any device cast could help — bucket on the host in full
+        # precision (eager callers only; tracers keep the device path)
+        fh = np.asarray(raw)
+        bucket = jnp.asarray(
+            np.floor((fh - min) * bins / (max - min)).astype(np.int32))
+        ok = jnp.asarray((fh >= min) & (fh < max)) & (seg >= 0)
+    else:
+        f = input.astype(jnp.float64 if jax.config.jax_enable_x64
+                         else jnp.float32)
+        bucket = jnp.floor(
+            (f - min) * bins / (max - min)).astype(jnp.int32)
+        ok = (f >= min) & (f < max) & (seg >= 0)
     bucket = jnp.clip(bucket, 0, bins - 1)
     seg2 = jnp.where(ok, seg * bins + bucket, K * bins)
     flat = jax.ops.segment_sum(

@@ -143,26 +143,112 @@ def apply_matrix1d(X, axis, M, b, mode, cval):
     return out
 
 
-def apply_filter1d(X, axis, sigma, order, mode, cval, truncate, radius):
+def apply_filter1d(X, axis, sigma, order, mode, cval, truncate, radius,
+                   int_exact=False):
     """Apply the Gaussian (derivative-)filter along one axis of a jax
-    array via the precomputed matrix; exact-adjoint by linearity."""
+    array via the precomputed matrix; exact-adjoint by linearity.
+    ``int_exact`` requests scipy's paired summation order (see
+    :func:`apply_paired1d`) for integer-writeback callers."""
     X = jnp.asarray(X)
     axis = axis % X.ndim
     n = int(X.shape[axis])
-    M, b = gaussian_filter1d_matrix(n, sigma, order, mode, truncate,
-                                    radius)
+    if sigma is not None and float(sigma) <= 0:
+        raise ValueError("sigma must be positive")
+    if radius is None:
+        radius = int(float(truncate) * float(sigma) + 0.5)
+    radius = int(radius)
+    if radius < 0:
+        raise ValueError("radius must be a nonnegative integer")
+    weights = gaussian_kernel1d(float(sigma), int(order), radius)[::-1]
+    if int_exact:
+        out = apply_paired1d(X, weights, axis, mode, cval,
+                             len(weights) // 2)
+        if out is not None:
+            return out
+    M, b = filter_matrix(n, tuple(weights.tolist()), mode)
     return apply_matrix1d(X, axis, M, b, mode, cval)
 
 
-def apply_correlate1d(X, weights, axis, mode, cval, origin):
+_DBL_EPS = float(np.finfo(np.float64).eps)
+
+
+def _scipy_pair_class(weights):
+    """scipy ``NI_Correlate1D``'s kernel-symmetry detection
+    (scipy/ndimage/src/ni_filters.c): odd length and taps equal (+1,
+    symmetric) or negated (-1, antisymmetric) across the center within
+    DBL_EPSILON; 0 selects the general left-to-right branch."""
+    L = len(weights)
+    if not L & 1:
+        return 0
+    s1 = L // 2
+    fw = np.asarray(weights, np.float64)
+    if all(abs(fw[s1 + i] - fw[s1 - i]) <= _DBL_EPS
+           for i in range(1, s1 + 1)):
+        return 1
+    if all(abs(fw[s1 + i] + fw[s1 - i]) <= _DBL_EPS
+           for i in range(1, s1 + 1)):
+        return -1
+    return 0
+
+
+def apply_paired1d(X, weights, axis, mode, cval, center):
+    """Evaluate ``correlate1d`` in scipy's paired summation order, or
+    return None when the kernel takes scipy's general branch.
+
+    scipy's C core special-cases symmetric/antisymmetric odd kernels:
+    ``sum = x[c]*w[c]; for ii=s1..1: sum += (x[c-ii] ± x[c+ii])*w[c-ii]``
+    (outermost pair first). The banded-matmul path sums the same taps in
+    a different association, and for INTEGER outputs a 1-ulp difference
+    at a truncation edge becomes a visible off-by-one (a fuzzed int32
+    gaussian landed at 2.9999999999999996 vs 3.0000000000000004 —
+    trunc 2 vs 3). Integer-writeback callers route here so the float
+    value is bit-identical to scipy's before the cast. Linear in X, so
+    autodiff stays exact."""
+    pair = _scipy_pair_class(weights)
+    if pair == 0:
+        return None
+    fw = np.asarray(weights, np.float64)
+    L = len(fw)
+    s1 = L // 2
+    dtype = X.dtype if X.dtype in (jnp.float32, jnp.float64) else (
+        jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    Xf = X.astype(dtype)
+    # pad so padded[i + k] is the input sample tap k reads at output i
+    Xp = pad_axis(Xf, axis, int(center), L - 1 - int(center), mode, cval)
+    n = int(X.shape[axis])
+
+    def sl(k):
+        return jax.lax.slice_in_dim(Xp, k, k + n, axis=axis)
+
+    acc = sl(s1) * float(fw[s1])
+    for ii in range(s1, 0, -1):
+        if pair > 0:
+            t = sl(s1 - ii) + sl(s1 + ii)
+        else:
+            t = sl(s1 - ii) - sl(s1 + ii)
+        acc = acc + t * float(fw[s1 - ii])
+    return acc
+
+
+def apply_correlate1d(X, weights, axis, mode, cval, origin,
+                      int_exact=False):
     """scipy ``correlate1d`` semantics: tap ``len(weights)//2 + origin``
-    aligns with the output position."""
+    aligns with the output position. ``int_exact`` requests scipy's
+    paired summation order for symmetric/antisymmetric kernels (see
+    :func:`apply_paired1d`)."""
     X = jnp.asarray(X)
     axis = axis % X.ndim
     weights = np.asarray(weights, dtype=np.float64)
     if weights.ndim != 1 or weights.size == 0:
         raise ValueError("weights must be a non-empty 1-D sequence")
     center = len(weights) // 2 + int(origin)
+    if not 0 <= center < len(weights):
+        raise ValueError("origin shifts the filter off its support "
+                         f"(center {center} for {len(weights)} taps).")
+    if int_exact:
+        out = apply_paired1d(X, weights, axis, mode, cval, center)
+        if out is not None:
+            return out
     M, b = filter_matrix(int(X.shape[axis]), tuple(weights.tolist()),
                          mode, center)
     return apply_matrix1d(X, axis, M, b, mode, cval)

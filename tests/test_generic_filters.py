@@ -228,3 +228,55 @@ def test_vectorized_filter_axes(rng):
     got = ed.vectorized_filter(jnp.asarray(x), jnp.min, size=3,
                                axes=(0, 2))
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+# ---------------------------------------------------------------------------
+# numpy-consuming callables (scipy's usual case) and the output= kwarg
+
+
+def test_generic_filter_numpy_callable_host_fallback(rng):
+    # np.ptp on a traced row raises TracerArrayConversionError; eager
+    # callers fall back to one host call per voxel like scipy itself
+    x = rng.standard_normal((8, 9)).astype(np.float32)
+    want = scipy.ndimage.generic_filter(x, np.ptp, size=3)
+    got = ed.generic_filter(jnp.asarray(x), np.ptp, size=3)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+def test_generic_filter_numpy_callable_raises_under_jit(rng):
+    import jax
+    x = rng.standard_normal((6, 6)).astype(np.float32)
+    f = jax.jit(lambda a: ed.generic_filter(a, np.ptp, size=3))
+    with pytest.raises(jax.errors.TracerArrayConversionError):
+        f(jnp.asarray(x))
+
+
+def test_generic_filter_output_dtype_and_array(rng):
+    x = (rng.standard_normal((7, 8)) * 20).astype(np.int32)
+    want = scipy.ndimage.generic_filter(x, np.mean, size=3)
+    got = ed.generic_filter(x, np.mean, size=3)
+    assert np.asarray(got).dtype == want.dtype
+    np.testing.assert_array_equal(np.asarray(got), want)
+    out = np.zeros((7, 8), np.float64)
+    wantf = scipy.ndimage.generic_filter(
+        x.astype(np.float32), np.mean, size=3, output=out.copy())
+    ed.generic_filter(x.astype(np.float32), np.mean, size=3, output=out)
+    np.testing.assert_allclose(out, wantf, atol=1e-6)
+
+
+def test_generic_filter1d_numpy_callable_and_output(rng):
+    x = rng.standard_normal((5, 9)).astype(np.float32)
+
+    def ours(line):
+        n = len(line) - 2
+        return np.array([line[i:i + 3].sum() for i in range(n)])
+
+    def sp_fn(line_in, line_out):
+        line_out[...] = np.convolve(line_in, np.ones(3), 'valid')
+
+    want = scipy.ndimage.generic_filter1d(x, sp_fn, 3, axis=1)
+    got = ed.generic_filter1d(jnp.asarray(x), ours, 3, axis=1)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+    out = np.zeros_like(x)
+    ed.generic_filter1d(x, ours, 3, axis=1, output=out)
+    np.testing.assert_allclose(out, want, atol=1e-5)

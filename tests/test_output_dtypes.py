@@ -258,3 +258,61 @@ def test_integer_cast_wraps_like_c(rng=None):
     got = np.asarray(ed.sobel(xi, axis=0))
     want = ndimage.sobel(xi, axis=0)
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# scipy paired-summation order for symmetric/antisymmetric kernels
+# (NI_Correlate1D special-cases them; a different float association
+# can land 1 ulp on the other side of a truncation edge and flip the
+# integer result — found by tools/fuzz_ndimage.py on an int32 gaussian
+# at 2.9999999999999996 vs 3.0000000000000004).
+
+
+def test_gaussian_int_bit_exact_sigma_sweep():
+    rng = np.random.default_rng(11)
+    x = rng.integers(-50, 50, (23, 17)).astype(np.int32)
+    for sigma in [0.31, 0.374, 0.8, 1.2345, 2.7]:
+        for mode in ['reflect', 'constant', 'nearest', 'mirror', 'wrap']:
+            got = np.asarray(ed.gaussian_filter(x, sigma, mode=mode))
+            want = ndimage.gaussian_filter(x, sigma, mode=mode)
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"sigma={sigma} mode={mode}")
+
+
+@pytest.mark.parametrize("sign", [1, -1])
+def test_correlate1d_paired_kernels_int_bit_exact(sign):
+    # symmetric (+1) and antisymmetric (-1) odd kernels take scipy's
+    # paired branch; include a shifted origin (center moves, pairing
+    # class is about the kernel, not the alignment)
+    rng = np.random.default_rng(13)
+    w = rng.standard_normal(7)
+    w = w + sign * w[::-1]
+    for origin in (0, 1, -2):
+        for mode in ['reflect', 'constant', 'nearest', 'mirror', 'wrap']:
+            x = rng.integers(-100, 100, (37,)).astype(np.int64)
+            got = np.asarray(ed.correlate1d(x, w, origin=origin,
+                                            mode=mode))
+            want = ndimage.correlate1d(x, w, origin=origin, mode=mode)
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"sign={sign} origin={origin} "
+                                   f"mode={mode}")
+
+
+def test_paired_path_keeps_exact_adjoint():
+    # the paired evaluation is linear in X; its vjp must satisfy the
+    # adjoint identity like the banded-matmul path does
+    import jax
+    import jax.numpy as jnp
+    from elasticdeform_tpu.ops.filters import apply_paired1d
+    rng = np.random.default_rng(17)
+    w = rng.standard_normal(5)
+    w = w + w[::-1]
+    x = jnp.asarray(rng.standard_normal((6, 19)))
+    f = lambda a: apply_paired1d(a, w, 1, 'reflect', 0.0, 2)
+    y, vjp = jax.vjp(f, x)
+    gy = jnp.asarray(rng.standard_normal(y.shape))
+    gx, = vjp(gy)
+    v = jnp.asarray(rng.standard_normal(x.shape))
+    lhs = jnp.vdot(jax.jvp(f, (x,), (v,))[1], gy)
+    rhs = jnp.vdot(v, gx)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-12)
