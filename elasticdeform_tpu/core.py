@@ -490,6 +490,124 @@ def _prepare_map(X, coordinates, order, mode, cval, prefilter, axis,
     return coordinates, spec
 
 
+# Modern-SciPy (>= 1.6) interpolation boundary modes, built as a
+# fold-coordinates + pad-array reduction onto the tuned in-range gather
+# machinery. The classic five names on :func:`map_coordinates` keep the
+# library's reference-parity (pre-1.6) semantics (reference
+# deform.c:47-128); these names — plus 'reflect'/'nearest' on the
+# scipy-convention resamplers — follow scipy.ndimage exactly.
+_GRID_MODE_NAMES = ('grid-mirror', 'grid-wrap', 'grid-constant')
+_MODERN_MODE_NAMES = _GRID_MODE_NAMES + ('reflect', 'nearest')
+
+
+def _modern_map_coordinates(X, coordinates, *, order, mode, cval,
+                            prefilter, axis, strategy, table_dtype):
+    """scipy >= 1.6 resampling semantics for ``mode`` in
+    ``_MODERN_MODE_NAMES``: (1) prefilter with the mode's EXACT boundary
+    condition (:func:`filter_matrix_bc`; empirically pinned vs scipy —
+    'reflect'/'nearest' use the reflect BC, 'grid-constant' the mirror
+    BC, 'grid-wrap' the periodic BC, with scipy's own 12-wide prepad for
+    'nearest'/'grid-constant'); (2) fold each coordinate row with the
+    mode's group formula; (3) pad the coefficient array so every spline
+    tap is strictly in range ('nearest' taps clamp to the padded bounds,
+    'grid-constant' taps beyond them read exactly ``cval`` — realized as
+    an edge / literal-cval ring); (4) run the tuned in-range gather
+    (``mode='nearest'`` on the padded array, where the clamp is a
+    no-op). Differential-tested against scipy.ndimage.map_coordinates
+    for all orders 0-5 with coordinates up to 25 voxels out of range.
+    Linear in ``X``; differentiable in ``X`` and ``coordinates``.
+    """
+    from elasticdeform_tpu.ops import modes as _modes
+    from elasticdeform_tpu.ops import prefilter as _pf
+    from elasticdeform_tpu.ops import resample as _rs
+    X = jnp.asarray(X)
+    axis_n, deform_shape = _n.normalize_axis_list(axis, [X])
+    axis_t = axis_n[0]
+    coordinates = jnp.asarray(coordinates)
+    if coordinates.ndim < 1 or coordinates.shape[0] != len(axis_t):
+        raise ValueError(
+            "coordinates should have shape (naxis, *out_shape) with one "
+            f"row per deformed axis; got {tuple(coordinates.shape)} for "
+            f"{len(axis_t)} deformed axes.")
+    (order,) = _n.normalize_order(order, [X])
+    out_dtype = X.dtype
+    if jnp.issubdtype(out_dtype, jnp.complexfloating):
+        comp = out_dtype
+    elif out_dtype == jnp.float64 and jax.config.jax_enable_x64:
+        comp = jnp.float64
+    else:
+        comp = jnp.float32
+    needs_filter = bool(prefilter) and order > 1
+    r = order + 1                       # tap half-width bound
+    if mode in ('reflect', 'grid-mirror'):
+        bc, pad_mode, npad, ring = 'reflect', 'symmetric', 0, r + 2
+    elif mode == 'grid-wrap':
+        bc, pad_mode, npad, ring = 'wrap', 'wrap', 0, r + 2
+    elif mode == 'nearest':
+        bc, pad_mode = 'reflect', 'edge'
+        npad, ring = (12 if needs_filter else 0), 2 * r + 3
+    elif mode == 'grid-constant':
+        bc, pad_mode = 'mirror', 'constant'
+        npad, ring = (12 if needs_filter else 0), 2 * r + 3
+    else:
+        raise RuntimeError("boundary mode not supported")
+
+    def _pad(arr, width):
+        w = [(0, 0)] * arr.ndim
+        for a in axis_t:
+            w[a] = (width, width)
+        if pad_mode == 'constant':
+            return jnp.pad(arr, w, mode='constant', constant_values=cval)
+        return jnp.pad(arr, w, mode=pad_mode)
+
+    Y = X.astype(comp)
+    if npad:
+        Y = _pad(Y, npad)
+    if needs_filter:
+        for a in axis_t:
+            F = _pf.filter_matrix_bc(int(Y.shape[a]), order, bc)
+            Y = _pf._apply_matrix(Y, F, a)
+    Y = _pad(Y, ring)
+
+    cdt = jnp.float64 if comp == jnp.float64 else jnp.float32
+    cc = coordinates.astype(cdt)
+    shift = npad + ring
+    rows = []
+    for i, a in enumerate(axis_t):
+        n_a = int(X.shape[a])
+        t = cc[i]
+        if mode in ('reflect', 'grid-mirror'):
+            t, _ = _modes.map_coordinate(t, n_a, _modes.MODE_REFLECT)
+        elif mode == 'grid-wrap':
+            t = jnp.mod(t, n_a) if n_a > 1 else jnp.zeros_like(t)
+        else:                           # nearest / grid-constant
+            t = jnp.clip(t, -(npad + r + 1), n_a - 1 + npad + r + 1)
+        rows.append(t + shift)
+    coords2, spec = _prepare_map(Y, jnp.stack(rows), order, 'nearest',
+                                 0.0, False, axis, strategy, table_dtype)
+    from elasticdeform_tpu.ops.deform import map_coordinates_apply
+    res = map_coordinates_apply(Y, coords2, spec)
+    if jnp.issubdtype(out_dtype, jnp.integer) or out_dtype == jnp.bool_:
+        return _rs.cast_output(res, out_dtype)
+    return res.astype(out_dtype)
+
+
+def _map_coordinates_scipy(X, coordinates, *, order, mode, cval,
+                           prefilter, axis, strategy, table_dtype):
+    """Dispatch for the scipy-convention resamplers: 'reflect' and
+    'nearest' (and the grid-* names) follow modern scipy.ndimage
+    semantics; 'mirror'/'wrap'/'constant' are identical pre/post-1.6 and
+    ride the reference path."""
+    if mode in _MODERN_MODE_NAMES:
+        return _modern_map_coordinates(
+            X, coordinates, order=order, mode=mode, cval=cval,
+            prefilter=prefilter, axis=axis, strategy=strategy,
+            table_dtype=table_dtype)
+    return map_coordinates(X, coordinates, order=order, mode=mode,
+                           cval=cval, prefilter=prefilter, axis=axis,
+                           strategy=strategy, table_dtype=table_dtype)
+
+
 def map_coordinates(X, coordinates, *, order=3, mode='constant', cval=0.0,
                     prefilter=True, axis=None, strategy="auto",
                     table_dtype=None):
@@ -500,10 +618,18 @@ def map_coordinates(X, coordinates, *, order=3, mode='constant', cval=0.0,
     ``(naxis, *out_shape)`` giving, for every output voxel, the (float)
     input position to interpolate at; the output has shape ``out_shape``
     (any rank, e.g. ``(naxis, P)`` for a flat list of sample points).
-    Boundary ``mode`` semantics are the library's reference-parity
-    (pre-SciPy-1.6) formulas, the same ones :func:`deform` applies
-    (reference deform.c:47-128); ``order``/``cval``/``prefilter``/
-    ``strategy``/``table_dtype`` follow :func:`deform`.
+    For the five classic mode names boundary semantics are the library's
+    reference-parity (pre-SciPy-1.6) formulas, the same ones
+    :func:`deform` applies (reference deform.c:47-128). The modern
+    (scipy >= 1.6) grid modes ``'grid-mirror'``/``'grid-wrap'``/
+    ``'grid-constant'`` are also accepted and follow scipy.ndimage
+    exactly — ``'grid-mirror'`` is scipy's synonym for its modern
+    ``'reflect'``, so use it when you need post-1.6 reflect tap
+    semantics here (the scipy-convention resamplers
+    :func:`affine_transform`/:func:`shift`/:func:`zoom`/:func:`rotate`
+    already give every mode name its modern meaning).
+    ``order``/``cval``/``prefilter``/``strategy``/``table_dtype`` follow
+    :func:`deform`.
 
     With ``axis``, only the listed axes are resampled and the remaining
     (channel) axes are carried along; the output rank must then equal the
@@ -513,6 +639,11 @@ def map_coordinates(X, coordinates, *, order=3, mode='constant', cval=0.0,
     dense field it covers registration-style warps the reference cannot
     express (see :func:`deform_field`).
     """
+    if mode in _GRID_MODE_NAMES:
+        return _modern_map_coordinates(
+            X, coordinates, order=order, mode=mode, cval=cval,
+            prefilter=prefilter, axis=axis, strategy=strategy,
+            table_dtype=table_dtype)
     coordinates, spec = _prepare_map(X, coordinates, order, mode, cval,
                                      prefilter, axis, strategy, table_dtype)
     from elasticdeform_tpu.ops.deform import map_coordinates_apply
@@ -534,6 +665,20 @@ def map_coordinates_gradient(dY, coordinates, *, order=3, mode='constant',
     if X_shape is None:
         raise ValueError("X_shape is required (the input shape cannot be "
                          "inferred from dY).")
+    if mode in _GRID_MODE_NAMES:
+        # the modern path is linear in X, so its vjp at a zero primal IS
+        # the exact adjoint (same primal-independence argument as
+        # deform_batch_gradient's batched backward route)
+        dY = jnp.asarray(dY)
+        dt = dY.dtype if jnp.issubdtype(dY.dtype, jnp.inexact) \
+            else jnp.float32
+        zero = jnp.zeros(tuple(int(s) for s in X_shape), dt)
+        _, vjp = jax.vjp(
+            lambda x: _modern_map_coordinates(
+                x, coordinates, order=order, mode=mode, cval=cval,
+                prefilter=prefilter, axis=axis, strategy=strategy,
+                table_dtype=None), zero)
+        return vjp(dY.astype(dt))[0]
     shaped = _Shaped(tuple(int(s) for s in X_shape), jnp.asarray(dY).dtype)
     coordinates, spec = _prepare_map(shaped, coordinates, order, mode, cval,
                                      prefilter, axis, strategy, None)
@@ -600,6 +745,11 @@ def map_coordinates_batch(X, coordinates, *, order=3, mode='constant',
         raise ValueError(
             "coordinates must have a leading batch axis matching X "
             f"(got {tuple(coordinates.shape)} for batch {B}).")
+    if mode in _GRID_MODE_NAMES:
+        return jax.vmap(lambda x, c: _modern_map_coordinates(
+            x, c, order=order, mode=mode, cval=cval, prefilter=prefilter,
+            axis=axis, strategy=strategy, table_dtype=table_dtype))(
+            X, coordinates)
     sample = _Shaped(X.shape[1:], X.dtype)
     coordinates_s, spec = _prepare_map(
         sample, coordinates[0], order, mode, cval, prefilter, axis,
@@ -643,10 +793,14 @@ def affine_transform(X, matrix, offset=0.0, *, output_shape=None, order=3,
     the ``(naxis+1, naxis+1)`` homogeneous form (whose last column
     supplies ``offset``); ``offset`` is a scalar or length-``naxis``
     vector. ``output_shape`` defaults to the input's (deformed-axes)
-    shape. Boundary semantics, channel handling (``axis``) and the
-    remaining parameters follow :func:`map_coordinates`, which this is a
-    thin wrapper over — traceable and differentiable w.r.t. ``X``,
-    ``matrix`` and ``offset``. For the deformation-composed affine of the
+    shape. Every scipy mode name carries its MODERN (scipy >= 1.6)
+    semantics here, including ``'reflect'``/``'nearest'`` tap extension
+    and the ``'grid-mirror'``/``'grid-wrap'``/``'grid-constant'`` modes
+    (``'mirror'``/``'wrap'``/``'constant'`` are identical pre/post-1.6).
+    Channel handling (``axis``) and the remaining parameters follow
+    :func:`map_coordinates`, which this is a thin wrapper over —
+    traceable and differentiable w.r.t. ``X``, ``matrix`` and
+    ``offset``. For the deformation-composed affine of the
     reference API, see :func:`deform`'s ``affine``/``rotate``/``zoom``.
     """
     X = jnp.asarray(X)
@@ -681,9 +835,11 @@ def affine_transform(X, matrix, offset=0.0, *, output_shape=None, order=3,
     else:
         cc = [sum(matrix[h, l] * iotas[l] for l in range(naxis))
               + offset[h] for h in range(naxis)]
-    return map_coordinates(X, jnp.stack(cc), order=order, mode=mode,
-                           cval=cval, prefilter=prefilter, axis=axis,
-                           strategy=strategy, table_dtype=table_dtype)
+    return _map_coordinates_scipy(X, jnp.stack(cc), order=order,
+                                  mode=mode, cval=cval,
+                                  prefilter=prefilter, axis=axis,
+                                  strategy=strategy,
+                                  table_dtype=table_dtype)
 
 
 def shift(X, shift, *, order=3, mode='constant', cval=0.0, prefilter=True,
@@ -705,11 +861,14 @@ def shift(X, shift, *, order=3, mode='constant', cval=0.0, prefilter=True,
 
 
 def zoom(X, zoom, *, order=3, mode='constant', cval=0.0, prefilter=True,
-         axis=None, strategy="auto"):
-    """Rescale an image (``scipy.ndimage.zoom`` equivalent,
-    ``grid_mode=False`` semantics): the output shape is
-    ``round(in_size * zoom)`` per deformed axis and output voxel ``o``
-    samples the input at ``o * (in_size - 1) / (out_size - 1)``. This is
+         axis=None, strategy="auto", grid_mode=False):
+    """Rescale an image (``scipy.ndimage.zoom`` equivalent): the output
+    shape is ``round(in_size * zoom)`` per deformed axis. With the
+    default ``grid_mode=False`` output voxel ``o`` samples the input at
+    ``o * (in_size - 1) / (out_size - 1)`` (endpoint convention); with
+    ``grid_mode=True`` the full pixel-AREA extent is scaled instead —
+    ``o`` samples ``(o + 0.5) * in/out - 0.5``, scipy's grid convention
+    (where the ``'grid-*'`` modes give the natural boundaries). This is
     the standalone resampling zoom; :func:`deform`'s ``zoom=`` parameter
     is the deformation-composed magnification of the reference API.
     """
@@ -723,6 +882,20 @@ def zoom(X, zoom, *, order=3, mode='constant', cval=0.0, prefilter=True,
                          f"deformed axis ({naxis}); got {len(zoom)}.")
     out_shape = tuple(int(round(i * float(z)))
                       for i, z in zip(deform_shape, zoom))
+    if grid_mode:
+        if mode in ('constant', 'wrap'):
+            import warnings
+            warnings.warn(
+                "It is recommended to use mode = 'grid-constant' or "
+                "'grid-wrap' instead of 'constant'/'wrap' when "
+                "grid_mode is True.", UserWarning, stacklevel=2)
+        factors = np.array([i / o if o > 0 else 1.0
+                            for i, o in zip(deform_shape, out_shape)])
+        offsets = (factors - 1.0) / 2.0
+        return affine_transform(X, factors, offsets,
+                                output_shape=out_shape, order=order,
+                                mode=mode, cval=cval, prefilter=prefilter,
+                                axis=axis, strategy=strategy)
     factors = np.array([(i - 1) / (o - 1) if o > 1 else 1.0
                         for i, o in zip(deform_shape, out_shape)])
     return affine_transform(X, factors, 0.0, output_shape=out_shape,
@@ -933,10 +1106,10 @@ def geometric_transform(X, mapping, output_shape=None, *, order=3,
     whole coordinate arrays and traced into the compiled program, so it
     must be vectorized/jax-traceable (ordinary arithmetic on the arrays,
     as in ``lambda c: (c[0] * 0.9 + 1.0, c[1] - 2.5)``). With the same
-    elementwise arithmetic the results match scipy's. Boundary ``mode``
-    semantics are the library's reference-parity (pre-SciPy-1.6)
-    formulas; everything else follows :func:`map_coordinates`, which
-    this wraps. Traceable and differentiable w.r.t. ``X`` (and w.r.t.
+    elementwise arithmetic the results match scipy's. Every scipy mode
+    name carries its modern (scipy >= 1.6) semantics, like
+    :func:`affine_transform`; everything else follows
+    :func:`map_coordinates`, which this wraps. Traceable and differentiable w.r.t. ``X`` (and w.r.t.
     anything the mapping closes over, through the coordinates).
     """
     X = jnp.asarray(X)
@@ -949,44 +1122,88 @@ def geometric_transform(X, mapping, output_shape=None, *, order=3,
     coordinates = jnp.stack(
         [jnp.broadcast_to(jnp.asarray(c).astype(cdt), out_shape)
          for c in coords])
-    return map_coordinates(X, coordinates, order=order, mode=mode,
-                           cval=cval, prefilter=prefilter,
-                           strategy=strategy, table_dtype=table_dtype)
+    return _map_coordinates_scipy(X, coordinates, order=order, mode=mode,
+                                  cval=cval, prefilter=prefilter,
+                                  axis=None, strategy=strategy,
+                                  table_dtype=table_dtype)
 
 
-def spline_filter1d(X, *, order=3, axis=0):
+# spline-filter boundary condition per scipy interpolation mode name
+# (empirically pinned vs scipy 1.16 at float64 round-off; see
+# ops/prefilter.filter_matrix_bc)
+_SPLINE_BC = {'mirror': 'mirror', 'constant': 'mirror', 'wrap': 'mirror',
+              'grid-constant': 'mirror', 'reflect': 'reflect',
+              'nearest': 'reflect', 'grid-mirror': 'reflect',
+              'grid-wrap': 'wrap'}
+
+
+def spline_filter1d(X, *, order=3, axis=-1, mode='mirror', output=None):
     """B-spline prefilter along one axis (``scipy.ndimage.spline_filter1d``
-    with mirror boundaries — the filter :func:`deform` and
-    :func:`map_coordinates` apply when ``prefilter=True``).
+    equivalent — with ``mode='mirror'`` this is the filter :func:`deform`
+    and :func:`map_coordinates` apply when ``prefilter=True``).
 
-    Exposed for the precompute pattern: filter an image ONCE into spline
-    coefficients, then run many warps with ``prefilter=False`` — e.g. a
-    registration loop resampling the same moving image every iteration
-    pays the prefilter a single time. Runs as one MXU matmul (or an
-    O(log n)-depth associative scan past the large-axis gate). Traceable
-    and differentiable; no-op for ``order <= 1``. Cf. reference
-    deform_grid.py:154-169.
+    All scipy boundary ``mode`` names are accepted and match scipy's
+    exact per-mode boundary conditions (several names share one: see
+    ``_SPLINE_BC``). ``output`` follows the scipy filter contract for a
+    dtype or pre-allocated array; ``None`` keeps the input's (floating)
+    dtype — scipy's default is float64, pass ``output=np.float64`` for
+    that exactly. Exposed for the precompute pattern: filter an image
+    ONCE into spline coefficients, then run many warps with
+    ``prefilter=False`` — e.g. a registration loop resampling the same
+    moving image every iteration pays the prefilter a single time. Runs
+    as one MXU matmul (or an O(log n)-depth associative scan past the
+    large-axis gate for the mirror BC). Traceable and differentiable;
+    no-op for ``order <= 1``. Cf. reference deform_grid.py:154-169.
     """
     from elasticdeform_tpu.ops import prefilter as _pf
-    (order,) = _n.normalize_order(order, [jnp.asarray(X)])
-    return _pf.spline_filter1d(jnp.asarray(X), order,
-                               axis % jnp.asarray(X).ndim)
+    X = jnp.asarray(X)
+    (order,) = _n.normalize_order(order, [X])
+    try:
+        bc = _SPLINE_BC[mode]
+    except KeyError:
+        raise RuntimeError("boundary mode not supported") from None
+    dtype, out_array = _resolve_output(X, output)
+    if not jnp.issubdtype(dtype, jnp.inexact):
+        dtype = jnp.dtype(jnp.float64 if jax.config.jax_enable_x64
+                          else jnp.float32)
+    Xf = X.astype(dtype)
+    ax = axis % X.ndim
+    if bc == 'mirror':
+        res = _pf.spline_filter1d(Xf, order, ax)
+    elif order <= 1:
+        res = Xf
+    else:
+        F = _pf.filter_matrix_bc(int(X.shape[ax]), order, bc)
+        res = _pf._apply_matrix(Xf, F, ax)
+    res = res.astype(dtype)
+    if out_array is not None:
+        out_array[...] = np.asarray(res)
+        return out_array
+    return res
 
 
-def spline_filter(X, *, order=3, axis=None):
+def spline_filter(X, *, order=3, axis=None, mode='mirror', output=None):
     """B-spline prefilter over several axes (``scipy.ndimage.spline_filter``
     equivalent): :func:`spline_filter1d` applied along each axis in turn.
 
     ``axis``: the axes to filter (default: all) — pass the deformed axes
-    when channel axes are carried along.
+    when channel axes are carried along. ``mode``/``output`` follow
+    :func:`spline_filter1d`.
     """
     X = jnp.asarray(X)
     if axis is None:
         axis = tuple(range(X.ndim))
     elif isinstance(axis, int):
         axis = (axis,)
+    dtype, out_array = _resolve_output(X, output)
     for d in axis:
-        X = spline_filter1d(X, order=order, axis=d)
+        X = spline_filter1d(X, order=order, axis=d, mode=mode)
+    if not jnp.issubdtype(dtype, jnp.inexact):
+        dtype = X.dtype
+    X = X.astype(dtype)
+    if out_array is not None:
+        out_array[...] = np.asarray(X)
+        return out_array
     return X
 
 

@@ -117,6 +117,63 @@ def filter_matrix(n: int, order: int) -> np.ndarray:
     return np.ascontiguousarray(_filter_lines(np.eye(n, dtype=np.float64), order))
 
 
+# B-spline kernel values at integer offsets, per order (the row the
+# sampling matrix places around its diagonal). Closed forms from the
+# centered cardinal B-splines; order 0/1 are identities.
+_BSPLINE_INT_KERNEL = {
+    2: (6 / 8, 1 / 8),
+    3: (4 / 6, 1 / 6),
+    4: (230 / 384, 76 / 384, 1 / 384),
+    5: (66 / 120, 26 / 120, 1 / 120),
+}
+
+
+def _fold_index_bc(q: int, n: int, bc: str) -> int:
+    """Fold integer index ``q`` into ``[0, n)`` under a boundary
+    condition: 'mirror' (symmetric about the edge SAMPLES, period
+    ``2n-2``), 'reflect' (symmetric about the half-sample edges, period
+    ``2n``), or 'wrap' (periodic)."""
+    if n == 1:
+        return 0
+    if bc == "mirror":
+        m = q % (2 * n - 2)
+        return 2 * n - 2 - m if m >= n else m
+    if bc == "reflect":
+        m = q % (2 * n)
+        return 2 * n - 1 - m if m >= n else m
+    if bc == "wrap":
+        return q % n
+    raise ValueError(f"unknown boundary condition {bc!r}")
+
+
+@functools.lru_cache(maxsize=None)
+def filter_matrix_bc(n: int, order: int, bc: str = "mirror") -> np.ndarray:
+    """Exact ``n x n`` prefilter matrix for a spline boundary condition.
+
+    Built as the inverse of the B-spline *sampling* matrix
+    ``S[i, fold(i+k)] += B(k)`` — interpolating the coefficients
+    ``F @ x`` with the matching index extension reproduces ``x`` at the
+    sample points exactly, which is the mathematical object behind
+    ``scipy.ndimage.spline_filter1d``'s per-mode exact boundary inits.
+    Empirically pinned mode->bc map (vs scipy 1.16, all orders 2-5 at
+    float64 round-off): interpolation modes 'mirror'/'constant'/'wrap'/
+    'grid-constant' -> ``'mirror'``; 'reflect'/'grid-mirror'/'nearest'
+    -> ``'reflect'``; 'grid-wrap' -> ``'wrap'``. ``'mirror'`` delegates
+    to the IIR-built :func:`filter_matrix` (identical to 1e-15).
+    """
+    if order <= 1 or n <= 1:
+        return np.eye(n, dtype=np.float64)
+    if bc == "mirror":
+        return filter_matrix(n, order)
+    ks = _BSPLINE_INT_KERNEL[order]
+    r = len(ks) - 1
+    S = np.zeros((n, n), dtype=np.float64)
+    for i in range(n):
+        for k in range(-r, r + 1):
+            S[i, _fold_index_bc(i + k, n, bc)] += ks[abs(k)]
+    return np.ascontiguousarray(np.linalg.inv(S))
+
+
 def _apply_matrix(x, mat: np.ndarray, axis: int):
     """Contract ``mat`` (n_out, n_in) with ``x`` along ``axis`` on device.
 

@@ -34,6 +34,14 @@ SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 0
 
 FILTER_MODES = ["reflect", "constant", "nearest", "mirror", "wrap"]
 GRID_MODES = ["mirror", "constant", "wrap"]  # modern-scipy-agreeing
+# the scipy-convention resamplers carry MODERN semantics for every name
+RESAMPLE_MODES = GRID_MODES + ["reflect", "nearest", "grid-mirror",
+                               "grid-wrap", "grid-constant"]
+# map_coordinates keeps the reference (pre-1.6) classics + grid-* modern
+MAPCOORD_MODES = GRID_MODES + ["grid-mirror", "grid-wrap",
+                               "grid-constant"]
+SPLINE_MODES = ["mirror", "reflect", "nearest", "wrap", "constant",
+                "grid-mirror", "grid-wrap", "grid-constant"]
 
 
 def rand_input(rng, ndim=None, dtypes=("f8", "f4", "i4", "u1")):
@@ -320,9 +328,10 @@ def case_fourier(rng):
 def case_resample(rng):
     x = rand_input(rng, dtypes=("f8",))
     order = int(rng.integers(0, 6))
-    mode = str(rng.choice(GRID_MODES))
     cval = float(rng.uniform(-2, 2))
     which = rng.choice(["shift", "rotate", "affine", "mapcoords"])
+    mode = str(rng.choice(MAPCOORD_MODES if which == "mapcoords"
+                          else RESAMPLE_MODES))
     if which == "shift":
         sh = tuple(float(v) for v in rng.uniform(-2, 2, x.ndim))
         return compare("shift",
@@ -417,8 +426,15 @@ def case_gauss_deriv(rng):
 def case_zoom(rng):
     x = rand_input(rng, dtypes=("f8",))
     order = int(rng.integers(0, 6))
-    mode = str(rng.choice(GRID_MODES))
+    mode = str(rng.choice(RESAMPLE_MODES))
     z = float(rng.uniform(0.5, 2.0))
+    if rng.integers(0, 2):
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", UserWarning)
+            a = ed.zoom(x, z, order=order, mode=mode, grid_mode=True)
+            b = ndi.zoom(x, z, order=order, mode=mode, grid_mode=True)
+        return compare("zoom_grid_mode", a, b, 1e-8)
     return compare("zoom",
                    ed.zoom(x, z, order=order, mode=mode),
                    ndi.zoom(x, z, order=order, mode=mode), 1e-8)
@@ -427,15 +443,19 @@ def case_zoom(rng):
 def case_spline_filter(rng):
     x = rand_input(rng, dtypes=("f8",))
     order = int(rng.integers(2, 6))
+    mode = str(rng.choice(SPLINE_MODES))
     if rng.integers(0, 2):
         axis = int(rng.integers(0, x.ndim))
         return compare("spline_filter1d",
-                       ed.spline_filter1d(x, order=order, axis=axis),
-                       ndi.spline_filter1d(x, order=order, axis=axis),
+                       ed.spline_filter1d(x, order=order, axis=axis,
+                                          mode=mode),
+                       ndi.spline_filter1d(x, order=order, axis=axis,
+                                           mode=mode, output=np.float64),
                        1e-8)
     return compare("spline_filter",
-                   ed.spline_filter(x, order=order),
-                   ndi.spline_filter(x, order=order), 1e-8)
+                   ed.spline_filter(x, order=order, mode=mode),
+                   ndi.spline_filter(x, order=order, mode=mode,
+                                     output=np.float64), 1e-8)
 
 
 def case_binary_iterstruct(rng):
@@ -646,7 +666,7 @@ def case_geometric(rng):
     # shared mapping lambda: works on scipy's int tuples AND on traces
     x = rand_input(rng, dtypes=("f8",))
     order = int(rng.integers(0, 6))
-    mode = str(rng.choice(GRID_MODES))
+    mode = str(rng.choice(RESAMPLE_MODES))
     scale = rng.uniform(0.5, 1.5, x.ndim)
     off = rng.uniform(-2.0, 2.0, x.ndim)
     mapping = lambda c: tuple(  # noqa: E731
