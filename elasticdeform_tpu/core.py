@@ -1528,26 +1528,47 @@ def laplace(X, *, mode='reflect', cval=0.0, axes=None, output=None):
     return _finish_filter(out, dtype, out_array)
 
 
+def _expand_weights_axes(X, weights, origin, axes):
+    """scipy's ``axes=`` contract for N-D kernels: ``weights`` (and the
+    per-axis ``origin``) cover only the listed axes; singleton kernel
+    dims are inserted on the remaining (batch) axes."""
+    from elasticdeform_tpu.ops import morphology as _m
+    axes_t = _m._normalize_axes(axes, X.ndim)
+    if len(axes_t) == X.ndim:
+        return weights, origin
+    weights = _m._expand_to_ndim(np.asarray(weights), X.ndim, axes_t)
+    origins = _m.normalize_sequence(origin, len(axes_t), "origin")
+    full = [0] * X.ndim
+    for a, o in zip(axes_t, origins):
+        full[a] = int(o)
+    return weights, full
+
+
 def correlate(X, weights, *, mode='reflect', cval=0.0, origin=0,
-              output=None):
+              output=None, axes=None):
     """N-D correlation with an arbitrary kernel
     (``scipy.ndimage.correlate`` equivalent): boundary fold as static
     index pads + one VALID ``lax.conv_general_dilated`` at HIGHEST
     precision; exactly differentiable by linearity. ``output`` follows
-    scipy (integer results truncate toward zero)."""
+    scipy (integer results truncate toward zero); with ``axes`` the
+    kernel covers only the listed axes."""
     from elasticdeform_tpu.ops.filters import apply_correlate
+    X = jnp.asarray(X)
     dtype, out_array = _resolve_output(X, output)
-    res = apply_correlate(jnp.asarray(X), weights, mode, cval, origin)
+    weights, origin = _expand_weights_axes(X, weights, origin, axes)
+    res = apply_correlate(X, weights, mode, cval, origin)
     return _finish_filter(res, dtype, out_array)
 
 
 def convolve(X, weights, *, mode='reflect', cval=0.0, origin=0,
-             output=None):
+             output=None, axes=None):
     """N-D convolution (``scipy.ndimage.convolve`` equivalent):
     correlation with the reversed kernel and mirrored origins."""
     from elasticdeform_tpu.ops.filters import apply_correlate
+    X = jnp.asarray(X)
     dtype, out_array = _resolve_output(X, output)
-    res = apply_correlate(jnp.asarray(X), weights, mode, cval, origin,
+    weights, origin = _expand_weights_axes(X, weights, origin, axes)
+    res = apply_correlate(X, weights, mode, cval, origin,
                           convolution=True)
     return _finish_filter(res, dtype, out_array)
 
@@ -1776,31 +1797,61 @@ def black_tophat(X, size=None, footprint=None, structure=None, *,
     return _finish_filter(res, dtype, out_array)
 
 
+def _binary_axes_args(X, structure, origin, axes):
+    """scipy's ``axes=`` contract for the binary morphology family: the
+    structure (default: connectivity-1 over the listed axes) and the
+    per-axis ``origin`` cover only ``axes``; the remaining axes are
+    carried along as batch dims (singleton structure dims)."""
+    from elasticdeform_tpu.ops import morphology as _m
+    ndim = jnp.asarray(X).ndim
+    axes_t = _m._normalize_axes(axes, ndim)
+    if len(axes_t) == ndim:
+        return structure, origin
+    if structure is None:
+        structure = _m.generate_binary_structure(len(axes_t), 1)
+    structure = _m._expand_to_ndim(np.asarray(structure), ndim, axes_t)
+    origins = _m.normalize_sequence(origin, len(axes_t), "origin")
+    full = [0] * ndim
+    for a, o in zip(axes_t, origins):
+        full[a] = int(o)
+    return structure, full
+
+
 def binary_erosion(X, structure=None, iterations=1, mask=None, *,
-                   border_value=0, origin=0):
+                   border_value=0, origin=0, axes=None,
+                   brute_force=False):
     """Binary erosion (``scipy.ndimage.binary_erosion`` equivalent):
     the Boolean stencil under ``lax.fori_loop`` (fixed ``iterations``)
     or ``lax.while_loop`` to the fixpoint (``iterations <= 0``), fully
     on-device and jit-traceable. ``mask`` gates which voxels may change
-    each step; the border extends with ``border_value``."""
+    each step; the border extends with ``border_value``; with ``axes``
+    the structure covers only the listed axes. ``brute_force`` is
+    accepted for scipy signature compatibility and ignored — it is a
+    scipy-internal speed hint with no effect on results (the stencil
+    fixpoint always reconsiders every voxel)."""
     from elasticdeform_tpu.ops import morphology as _m
+    structure, origin = _binary_axes_args(X, structure, origin, axes)
     return _m.binary_erosion_dilation(X, structure, iterations, mask,
                                       border_value, origin, False)
 
 
 def binary_dilation(X, structure=None, iterations=1, mask=None, *,
-                    border_value=0, origin=0):
+                    border_value=0, origin=0, axes=None,
+                    brute_force=False):
     """Binary dilation (``scipy.ndimage.binary_dilation`` equivalent):
     structure reflected and origin mirrored as scipy does."""
     from elasticdeform_tpu.ops import morphology as _m
+    structure, origin = _binary_axes_args(X, structure, origin, axes)
     return _m.binary_erosion_dilation(X, structure, iterations, mask,
                                       border_value, origin, True)
 
 
 def binary_opening(X, structure=None, iterations=1, mask=None, *,
-                   border_value=0, origin=0):
+                   border_value=0, origin=0, axes=None,
+                   brute_force=False):
     """Binary opening: erosion then dilation, each ``iterations`` times
     (``scipy.ndimage.binary_opening`` equivalent)."""
+    structure, origin = _binary_axes_args(X, structure, origin, axes)
     tmp = binary_erosion(X, structure, iterations, mask,
                          border_value=border_value, origin=origin)
     return binary_dilation(tmp, structure, iterations, mask,
@@ -1808,9 +1859,11 @@ def binary_opening(X, structure=None, iterations=1, mask=None, *,
 
 
 def binary_closing(X, structure=None, iterations=1, mask=None, *,
-                   border_value=0, origin=0):
+                   border_value=0, origin=0, axes=None,
+                   brute_force=False):
     """Binary closing: dilation then erosion
     (``scipy.ndimage.binary_closing`` equivalent)."""
+    structure, origin = _binary_axes_args(X, structure, origin, axes)
     tmp = binary_dilation(X, structure, iterations, mask,
                           border_value=border_value, origin=origin)
     return binary_erosion(tmp, structure, iterations, mask,
@@ -1818,19 +1871,21 @@ def binary_closing(X, structure=None, iterations=1, mask=None, *,
 
 
 def binary_propagation(X, structure=None, mask=None, *, border_value=0,
-                       origin=0):
+                       origin=0, axes=None):
     """Binary propagation: dilate to the fixpoint inside ``mask``
     (``scipy.ndimage.binary_propagation`` equivalent) — geodesic
     reconstruction by dilation, as one ``lax.while_loop``."""
+    structure, origin = _binary_axes_args(X, structure, origin, axes)
     return binary_dilation(X, structure, -1, mask,
                            border_value=border_value, origin=origin)
 
 
-def binary_fill_holes(X, structure=None, *, origin=0):
+def binary_fill_holes(X, structure=None, *, origin=0, axes=None):
     """Fill holes in binary objects
     (``scipy.ndimage.binary_fill_holes`` equivalent): propagate
     background from the border (``border_value=1``) through the
     complement, then invert — one on-device ``while_loop``."""
+    structure, origin = _binary_axes_args(X, structure, origin, axes)
     X = jnp.asarray(X) != 0
     seed = jnp.zeros(X.shape, bool)
     reached = binary_dilation(seed, structure, -1, ~X, border_value=1,
@@ -1839,7 +1894,7 @@ def binary_fill_holes(X, structure=None, *, origin=0):
 
 
 def binary_hit_or_miss(X, structure1=None, structure2=None, *,
-                       origin1=0, origin2=None):
+                       origin1=0, origin2=None, axes=None):
     """Binary hit-or-miss transform
     (``scipy.ndimage.binary_hit_or_miss`` equivalent):
     ``erosion(X, s1) & erosion(~X, s2)`` with scipy's default
@@ -1847,18 +1902,24 @@ def binary_hit_or_miss(X, structure1=None, structure2=None, *,
     from elasticdeform_tpu.ops import morphology as _m
     import numpy as _np
     X = jnp.asarray(X) != 0
+    ndim = X.ndim
+    axes_t = _m._normalize_axes(axes, ndim)
     if structure1 is None:
-        structure1 = _m.generate_binary_structure(X.ndim, 1)
+        structure1 = _m.generate_binary_structure(len(axes_t), 1)
     else:
         structure1 = _np.asarray(structure1)
     if structure2 is None:
         structure2 = _np.logical_not(structure1)
+    else:
+        structure2 = _np.asarray(structure2)
     if origin2 is None:
         origin2 = origin1
+    structure1, origin1 = _binary_axes_args(X, structure1, origin1, axes)
+    structure2, origin2f = _binary_axes_args(X, structure2, origin2, axes)
     tmp1 = binary_erosion(X, structure1, 1, None, border_value=0,
                           origin=origin1)
     tmp2 = binary_erosion(~X, structure2, 1, None, border_value=1,
-                          origin=origin2)
+                          origin=origin2f)
     return tmp1 & tmp2
 
 
@@ -2018,7 +2079,7 @@ def generic_filter1d(X, function, filter_size, axis=-1, output=None, *,
 
 def vectorized_filter(X, function, *, size=None, footprint=None,
                       mode='reflect', cval=None, origin=None,
-                      axes=None):
+                      axes=None, batch_memory=None):
     """Window filter with a vectorized reducing callable
     (``scipy.ndimage.vectorized_filter`` equivalent): ``function``
     receives the window dimensions appended as trailing axes (or, with
@@ -2026,7 +2087,10 @@ def vectorized_filter(X, function, *, size=None, footprint=None,
     axis) and is called ONCE with ``axis=`` — exactly scipy's
     contract, realized as static shifted slices instead of a
     sliding-window view. Supports the five boundary modes plus
-    ``'valid'`` (output shrinks by ``size - 1``)."""
+    ``'valid'`` (output shrinks by ``size - 1``). ``batch_memory`` is
+    accepted for scipy signature compatibility and ignored — it is
+    scipy's chunking knob for its sliding-window view; XLA sizes the
+    fused slice stack itself."""
     from elasticdeform_tpu.ops import morphology as _m
     import numpy as _np
     X = jnp.asarray(X)

@@ -275,23 +275,58 @@ def edt_core(input, sampling=None, return_indices=False):
     return f, idx_list
 
 
+def _fill_out_arrays(results, return_flags, out_arrays, dtypes, shapes):
+    """scipy's distance-transform output contract: a supplied
+    ``distances``/``indices`` array is validated (scipy's error
+    strings), filled in place (eager callers only — under jit pass
+    ``None``), and omitted from the return; ``None`` is returned when
+    every requested output was supplied."""
+    ret = []
+    for res, (name, flag), arr, dt, shp in zip(
+            results, return_flags, out_arrays, dtypes, shapes):
+        if arr is None:
+            if flag:
+                ret.append(res)
+            continue
+        if not flag:
+            raise RuntimeError(
+                f"return_{name} must be True if {name} is supplied")
+        arr = np.asarray(arr) if not isinstance(arr, np.ndarray) else arr
+        if arr.dtype != np.dtype(dt):
+            raise RuntimeError(f"{name} array must be {np.dtype(dt).name}")
+        if arr.shape != shp:
+            raise RuntimeError(f"{name} array has wrong shape")
+        arr[...] = np.asarray(res).astype(dt)
+    if not ret:
+        return None
+    return ret[0] if len(ret) == 1 else ret
+
+
 def distance_transform_edt(input, sampling=None, return_distances=True,
-                           return_indices=False):
+                           return_indices=False, distances=None,
+                           indices=None):
     """``scipy.ndimage.distance_transform_edt`` equivalent (see module
     docstring for the TPU formulation). Returns distances, indices
     (as one ``(ndim, *shape)`` int32 array), or ``[distances,
     indices]`` exactly like scipy; feature tie-breaking may differ
-    from scipy's scan order (the distances are identical)."""
+    from scipy's scan order (the distances are identical). Supplied
+    ``distances``/``indices`` arrays are filled in place and omitted
+    from the return, like scipy (eager callers only)."""
     if not (return_distances or return_indices):
         raise RuntimeError("at least one of distances/indices must be "
                            "returned")
-    f, idx_list = edt_core(input, sampling, return_indices)
-    out = []
-    if return_distances:
-        out.append(jnp.sqrt(f))
-    if return_indices:
-        out.append(jnp.stack(idx_list, axis=0))
-    return out[0] if len(out) == 1 else out
+    x = jnp.asarray(input)
+    f, idx_list = edt_core(input, sampling, return_indices or
+                           indices is not None)
+    dist = jnp.sqrt(f) if return_distances else None
+    idx = (jnp.stack(idx_list, axis=0)
+           if (return_indices or indices is not None) else None)
+    return _fill_out_arrays(
+        [dist, idx],
+        [("distances", return_distances), ("indices", return_indices)],
+        [distances, indices],
+        [np.float64, np.int32],
+        [x.shape, (x.ndim,) + x.shape])
 
 
 def _cdt_structure(metric, ndim):
@@ -346,49 +381,65 @@ def cdt_core(input, structure, return_indices=False):
 
 def distance_transform_cdt(input, metric="chessboard",
                            return_distances=True,
-                           return_indices=False):
+                           return_indices=False, distances=None,
+                           indices=None):
     """``scipy.ndimage.distance_transform_cdt`` equivalent: chamfer
     distance (int32) for the cityblock/taxicab or chessboard metric
-    (or a custom 3^ndim structure), via on-device fixpoint relaxation."""
+    (or a custom 3^ndim structure), via on-device fixpoint relaxation.
+    Supplied ``distances``/``indices`` arrays are filled in place and
+    omitted from the return, like scipy."""
     if not (return_distances or return_indices):
         raise RuntimeError("at least one of distances/indices must be "
                            "returned")
     x = jnp.asarray(input)
     structure = _cdt_structure(metric, x.ndim)
-    d, ix = cdt_core(x, structure, return_indices)
-    out = []
-    if return_distances:
-        out.append(d)
-    if return_indices:
+    want_ix = return_indices or indices is not None
+    d, ix = cdt_core(x, structure, want_ix)
+    coords = None
+    if want_ix:
         coords = jnp.stack(
             jnp.unravel_index(ix, x.shape), axis=0).astype(jnp.int32)
-        out.append(coords)
-    return out[0] if len(out) == 1 else out
+    return _fill_out_arrays(
+        [d if return_distances else None, coords],
+        [("distances", return_distances), ("indices", return_indices)],
+        [distances, indices],
+        [np.int32, np.int32],
+        [x.shape, (x.ndim,) + x.shape])
 
 
 def distance_transform_bf(input, metric="euclidean", sampling=None,
-                          return_distances=True, return_indices=False):
+                          return_distances=True, return_indices=False,
+                          distances=None, indices=None):
     """``scipy.ndimage.distance_transform_bf`` equivalent. The
     Euclidean metric routes to the exact separable EDT; cityblock /
     chessboard route to the chamfer relaxation (exact for those
-    metrics), cast to scipy's uint32."""
+    metrics), cast to scipy's uint32. Supplied ``distances``/``indices``
+    arrays are filled in place and omitted from the return, like
+    scipy."""
     if not (return_distances or return_indices):
         raise RuntimeError("at least one of distances/indices must be "
                            "returned")
     m = metric.lower() if isinstance(metric, str) else metric
     if m in ("euclidean", 1):
         return distance_transform_edt(input, sampling,
-                                      return_distances, return_indices)
+                                      return_distances, return_indices,
+                                      distances, indices)
     if m in ("cityblock", "taxicab", 2):
         name = "taxicab"
     elif m in ("chessboard", 3):
         name = "chessboard"
     else:
         raise RuntimeError(f"{metric} metric not supported")
-    res = distance_transform_cdt(input, name, return_distances,
-                                 return_indices)
-    if return_distances:
-        if return_indices:
-            return [res[0].astype(jnp.uint32), res[1]]
-        return res.astype(jnp.uint32)
-    return res
+    x = jnp.asarray(input)
+    want_ix = return_indices or indices is not None
+    d, ix = cdt_core(x, _cdt_structure(name, x.ndim), want_ix)
+    coords = None
+    if want_ix:
+        coords = jnp.stack(
+            jnp.unravel_index(ix, x.shape), axis=0).astype(jnp.int32)
+    return _fill_out_arrays(
+        [d.astype(jnp.uint32) if return_distances else None, coords],
+        [("distances", return_distances), ("indices", return_indices)],
+        [distances, indices],
+        [np.uint32, np.int32],
+        [x.shape, (x.ndim,) + x.shape])

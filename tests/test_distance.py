@@ -314,3 +314,55 @@ def test_watershed_validation():
     with pytest.raises(RuntimeError, match='equal shapes'):
         ed.watershed_ift(np.zeros((4, 4), np.uint8),
                          np.zeros((4, 5), np.int8))
+
+
+# ---------------------------------------------------------------------------
+# scipy's distances= / indices= output arrays (signature-parity, round 5)
+
+
+def test_edt_output_arrays():
+    rng = np.random.default_rng(51)
+    x = rng.random((7, 9)) > 0.35
+    d = np.zeros(x.shape, np.float64)
+    assert ed.distance_transform_edt(x, distances=d) is None
+    np.testing.assert_allclose(d, scipy.ndimage.distance_transform_edt(x),
+                               atol=1e-5)
+    i = np.zeros((2,) + x.shape, np.int32)
+    r = ed.distance_transform_edt(x, return_indices=True, indices=i)
+    # distances still returned (only indices was supplied)
+    np.testing.assert_allclose(np.asarray(r),
+                               scipy.ndimage.distance_transform_edt(x),
+                               atol=1e-5)
+    # the filled feature indices must imply the exact distances
+    ii, jj = np.meshgrid(np.arange(x.shape[0]), np.arange(x.shape[1]),
+                         indexing='ij')
+    implied = np.sqrt((ii - i[0]) ** 2 + (jj - i[1]) ** 2)
+    np.testing.assert_allclose(implied, np.asarray(r), atol=1e-4)
+
+
+def test_edt_output_array_validation():
+    x = np.ones((4, 5), bool)
+    with pytest.raises(RuntimeError, match="float64"):
+        ed.distance_transform_edt(x, distances=np.zeros(x.shape,
+                                                        np.float32))
+    with pytest.raises(RuntimeError, match="return_distances"):
+        ed.distance_transform_edt(
+            x, return_distances=False, return_indices=True,
+            distances=np.zeros(x.shape, np.float64),
+            indices=np.zeros((2,) + x.shape, np.int32))
+    with pytest.raises(RuntimeError, match="wrong shape"):
+        ed.distance_transform_edt(x, distances=np.zeros((3, 3),
+                                                        np.float64))
+
+
+def test_cdt_bf_output_arrays():
+    rng = np.random.default_rng(52)
+    x = rng.random((8, 8)) > 0.4
+    d = np.zeros(x.shape, np.int32)
+    assert ed.distance_transform_cdt(x, distances=d) is None
+    np.testing.assert_array_equal(
+        d, scipy.ndimage.distance_transform_cdt(x))
+    du = np.zeros(x.shape, np.uint32)
+    assert ed.distance_transform_bf(x, 'chessboard', distances=du) is None
+    np.testing.assert_array_equal(
+        du, scipy.ndimage.distance_transform_bf(x, 'chessboard'))

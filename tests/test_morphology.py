@@ -460,3 +460,59 @@ def test_empty_structure_scipy_convention(rng):
     np.testing.assert_array_equal(
         np.asarray(ed.binary_hit_or_miss(x, s1)),
         scipy.ndimage.binary_hit_or_miss(x, s1))
+
+
+# ---------------------------------------------------------------------------
+# scipy's axes= / brute_force kwargs (signature-parity sweep, round 5)
+
+
+def test_binary_morphology_axes_kwarg():
+    rng = np.random.default_rng(41)
+    x = rng.random((4, 9, 10)) > 0.5
+    for fn in ('binary_erosion', 'binary_dilation', 'binary_opening',
+               'binary_closing'):
+        want = getattr(scipy.ndimage, fn)(x, axes=(1, 2))
+        got = np.asarray(getattr(ed, fn)(x, axes=(1, 2)))
+        np.testing.assert_array_equal(got, want, err_msg=fn)
+    s = np.ones((3, 3), bool)
+    want = scipy.ndimage.binary_erosion(x, s, axes=(0, 2),
+                                        origin=(1, 0))
+    got = np.asarray(ed.binary_erosion(x, s, axes=(0, 2),
+                                       origin=(1, 0)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_binary_fill_holes_and_hit_or_miss_axes():
+    rng = np.random.default_rng(42)
+    x = rng.random((3, 12, 13)) > 0.6
+    want = scipy.ndimage.binary_fill_holes(x, axes=(1, 2))
+    got = np.asarray(ed.binary_fill_holes(x, axes=(1, 2)))
+    np.testing.assert_array_equal(got, want)
+    want = scipy.ndimage.binary_hit_or_miss(x, axes=(1, 2))
+    got = np.asarray(ed.binary_hit_or_miss(x, axes=(1, 2)))
+    np.testing.assert_array_equal(got, want)
+    want = scipy.ndimage.binary_propagation(
+        x, mask=np.ones_like(x), axes=(1, 2))
+    got = np.asarray(ed.binary_propagation(
+        x, mask=np.ones_like(x), axes=(1, 2)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_binary_brute_force_accepted():
+    rng = np.random.default_rng(43)
+    x = rng.random((8, 9)) > 0.5
+    a = np.asarray(ed.binary_erosion(x, iterations=2, brute_force=True))
+    b = np.asarray(ed.binary_erosion(x, iterations=2))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_correlate_convolve_axes_kwarg():
+    rng = np.random.default_rng(44)
+    x = rng.standard_normal((3, 10, 11))
+    w = rng.standard_normal((3, 4))
+    for fn in ('correlate', 'convolve'):
+        want = getattr(scipy.ndimage, fn)(x, w, axes=(1, 2),
+                                          origin=(1, -1))
+        got = np.asarray(getattr(ed, fn)(x, w, axes=(1, 2),
+                                         origin=(1, -1)))
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=fn)
